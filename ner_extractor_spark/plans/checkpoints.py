@@ -1,0 +1,84 @@
+"""Stage checkpoint manifest — the resume/idempotence kernel (SURVEY §4.1
+"grid pickle" row, §4.3.4; north rule: resumable from checkpoint).
+
+Semantics = the reference's ``visited``-set resume idiom (BiLSTM grid
+search `grid_progress.pkl`): every stage writes its output table, then
+records (stage, run marker) in a manifest; a re-run SKIPS any stage whose
+manifest entry + output exist.  Made transactional here by writing the
+manifest entry only after the table write commits, and by writing tables
+atomically (Spark's _temporary -> rename protocol; Iceberg snapshots in
+production — same contract, table-commit-then-manifest).
+
+Storage: partitioned parquet under a base dir (this sandbox has no
+Iceberg runtime jars; the writer keys off ``format`` so an Iceberg
+catalog slot-in is a config change, not a code change).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class StageManifest:
+    def __init__(self, base_dir: str):
+        self.base = Path(base_dir)
+        self.base.mkdir(parents=True, exist_ok=True)
+        self.manifest_path = self.base / "_manifest.json"
+
+    def _load(self) -> dict:
+        if self.manifest_path.exists():
+            return json.loads(self.manifest_path.read_text())
+        return {"stages": {}}
+
+    def done(self, stage: str) -> bool:
+        m = self._load()
+        entry = m["stages"].get(stage)
+        return bool(entry) and Path(entry["path"]).exists()
+
+    def path(self, stage: str) -> str:
+        return str(self.base / stage)
+
+    def mark(self, stage: str, **meta) -> None:
+        m = self._load()
+        m["stages"][stage] = {"path": self.path(stage), "ts": time.time(), **meta}
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(m, indent=2))
+        os.replace(tmp, self.manifest_path)
+
+
+def write_stage(manifest: StageManifest, stage: str, df: DataFrame,
+                partition_by: list[str] | None = None,
+                run_id: str = "run0") -> DataFrame:
+    """Write a stage table + per-partition lineage rows; skip if already
+    done (idempotent resume).  Returns the (re-read) stage DataFrame so
+    downstream stages read the materialized table — every table IS the
+    checkpoint (SURVEY §7.0)."""
+    spark = df.sparkSession
+    out = manifest.path(stage)
+    if manifest.done(stage):
+        return spark.read.parquet(out)
+
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out)
+
+    persisted = spark.read.parquet(out)
+    lineage = (
+        persisted.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(F.lit(stage).alias("stage"), "partition_id", "row_count",
+                F.lit(run_id).alias("run_id"))
+    )
+    lineage.write.mode("append").parquet(str(manifest.base / "_lineage"))
+    manifest.mark(stage, run_id=run_id)
+    return persisted
+
+
+def read_lineage(spark: SparkSession, base_dir: str) -> DataFrame:
+    return spark.read.parquet(str(Path(base_dir) / "_lineage"))

@@ -1,0 +1,150 @@
+"""End-to-end KG construction plan (north rule):
+
+  pages -> sentences -> pred_tags -> mentions -> triples_raw
+        -> linked mentions (alias broadcast join + LSH residuals)
+        -> entity components (connected components)
+        -> canonical triples + per-partition lineage, resumable stages.
+
+Every stage writes a table via the StageManifest (resume = skip stage);
+all stage logic is the declarative operators from ``..operators``.
+
+Canonicalization semantics: entities that share an LSH candidate pair or
+an alias-dictionary id land in one component; the canonical id is the
+lexicographically smallest entity_id in the component.  Unlinkable
+mentions keep a deterministic surface-derived id ``S-<md5(norm)>`` so the
+triple set is total (nothing silently dropped — north rule lineage).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.cc import connected_components
+from ..operators.extract import extract_sentences
+from ..operators.link import link_exact, lsh_candidates, norm_surface, unlinked
+from ..operators.ner import tag_sentences
+from ..operators.spans import extract_mentions
+from ..operators.triples import extract_triples
+from .checkpoints import StageManifest, write_stage
+
+
+@dataclass
+class KGResult:
+    sentences: DataFrame
+    mentions: DataFrame
+    triples_raw: DataFrame
+    linked: DataFrame
+    components: DataFrame
+    triples: DataFrame
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame,
+    tagger_dictionary: dict,
+    work_dir: str,
+    lang: str | None = "en",
+    run_id: str = "run0",
+) -> KGResult:
+    man = StageManifest(work_dir)
+
+    sentences = write_stage(
+        man, "sentences", extract_sentences(pages, lang=lang), run_id=run_id)
+
+    tagged = write_stage(
+        man, "tagged", tag_sentences(sentences, tagger_dictionary), run_id=run_id)
+
+    mentions = write_stage(
+        man, "mentions", extract_mentions(tagged), run_id=run_id)
+
+    triples_raw = write_stage(
+        man, "triples_raw", extract_triples(tagged, mentions), run_id=run_id)
+
+    # --- linking ---------------------------------------------------------
+    linked = link_exact(mentions, aliases)
+    # residual near-miss candidates: unlinked surfaces vs alias strings
+    resid = unlinked(mentions, aliases).select("alias_norm").distinct()
+    cand = lsh_candidates(resid, "alias_norm",
+                          aliases.select("alias_norm").distinct(), "alias_norm")
+    # LSH candidates link a residual surface to the entity of the matched
+    # alias (best prior wins, deterministically).
+    alias_best = (
+        aliases.groupBy("alias_norm")
+        .agg(F.max_by("entity_id", F.struct(F.col("prior"), F.col("entity_id"))).alias("entity_id"))
+    )
+    resid_entities = (
+        cand.withColumnRenamed("alias_norm_r", "matched_alias")
+        .join(alias_best.withColumnRenamed("alias_norm", "matched_alias"),
+              on="matched_alias")
+        .select("alias_norm", "entity_id")
+    )
+    resid_linked = resid_entities.groupBy("alias_norm").agg(
+        F.min("entity_id").alias("entity_id"))
+    m_norm = mentions.withColumn("alias_norm", norm_surface(F.col("surface")))
+    resid_mentions = (
+        m_norm.join(F.broadcast(aliases.select("alias_norm")), "alias_norm", "left_anti")
+        .join(F.broadcast(resid_linked), on="alias_norm", how="inner")
+        .withColumn("prior", F.lit(0.0))
+        .withColumn("entity_type", F.col("label"))
+    )
+    linked_all = linked.select(*resid_mentions.columns).unionByName(resid_mentions)
+    # totality: anything still unmatched gets a surface-derived id
+    still = (
+        m_norm.join(linked_all.select("url", "sent_id", "start").distinct(),
+                    on=["url", "sent_id", "start"], how="left_anti")
+        .withColumn("entity_id", F.concat(F.lit("S-"), F.md5(F.col("alias_norm"))))
+        .withColumn("prior", F.lit(0.0))
+        .withColumn("entity_type", F.col("label"))
+    )
+    linked_total = write_stage(
+        man, "linked", linked_all.unionByName(still.select(*linked_all.columns)),
+        run_id=run_id)
+
+    # --- canonicalization ------------------------------------------------
+    # edges: alias ambiguity (same alias -> several ids) + LSH candidate
+    # pairs mapped to entity ids.
+    amb_edges = (
+        aliases.alias("x").join(aliases.alias("y"), on="alias_norm")
+        .filter(F.col("x.entity_id") < F.col("y.entity_id"))
+        .select(F.col("x.entity_id").alias("src"), F.col("y.entity_id").alias("dst"))
+    )
+    # a residual surface LSH-matching several dictionary entities links
+    # those entities into one component
+    lsh_edges = (
+        resid_entities.alias("x").join(resid_entities.alias("y"), on="alias_norm")
+        .filter(F.col("x.entity_id") < F.col("y.entity_id"))
+        .select(F.col("x.entity_id").alias("src"), F.col("y.entity_id").alias("dst"))
+    )
+    edges = amb_edges.unionByName(lsh_edges)
+    self_loops = linked_total.select(
+        F.col("entity_id").alias("src"), F.col("entity_id").alias("dst")).distinct()
+    comps = connected_components(edges.unionByName(self_loops))
+    components = write_stage(man, "components", comps, run_id=run_id)
+
+    # --- final triples ----------------------------------------------------
+    lt = linked_total.select(
+        "url", "sent_id", "start",
+        F.col("entity_id").alias("eid"))
+    canon = components.withColumnRenamed("node", "eid").withColumnRenamed("comp", "canonical")
+    lt_canon = lt.join(F.broadcast(canon), on="eid", how="left").withColumn(
+        "canonical", F.coalesce("canonical", "eid"))
+
+    t = triples_raw
+    triples = (
+        t.join(lt_canon.select("url", "sent_id",
+                               F.col("start").alias("subj_start"),
+                               F.col("canonical").alias("subj")),
+               on=["url", "sent_id", "subj_start"])
+        .join(lt_canon.select("url", "sent_id",
+                              F.col("start").alias("obj_start"),
+                              F.col("canonical").alias("obj")),
+              on=["url", "sent_id", "obj_start"])
+        .select("subj", "pred", "obj", "url", "sent_id")
+    )
+    triples = write_stage(man, "triples", triples, run_id=run_id)
+
+    return KGResult(sentences, mentions, triples_raw, linked_total,
+                    components, triples)
