@@ -29,22 +29,24 @@ from pyspark.sql import Column, DataFrame, functions as F
 # a span STARTS at i iff tag != O and (B-prefix, first position, previous
 # tag O, or previous type differs).  A position j is a BOUNDARY (ends the
 # span before it) iff tag[j]=O or a span starts at j.
+# ANSI-safe: positions come from transform(tags, (x,i) -> i) (empty for
+# empty arrays) and all lookbacks use null-tolerant get().
 _DECODE_SQL = """
 transform(
-  filter(sequence(0, size({t}) - 1), i ->
-    {t}[i] != 'O' AND (
-      left({t}[i], 1) = 'B' OR i = 0 OR {t}[i-1] = 'O'
-      OR substring({t}[i-1], 3) != substring({t}[i], 3)
+  filter(transform({t}, (x_, i_) -> i_), i ->
+    get({t}, i) != 'O' AND (
+      left(get({t}, i), 1) = 'B' OR i = 0 OR get({t}, i-1) = 'O'
+      OR substring(get({t}, i-1), 3) != substring(get({t}, i), 3)
     )
   ),
   s -> named_struct(
-    'label', substring({t}[s], 3),
+    'label', substring(get({t}, s), 3),
     'start', s,
     'end', coalesce(
-      array_min(filter(sequence(0, size({t}) - 1), j ->
+      array_min(filter(transform({t}, (x_, j_) -> j_), j ->
         j > s AND (
-          {t}[j] = 'O' OR left({t}[j], 1) = 'B' OR {t}[j-1] = 'O'
-          OR substring({t}[j-1], 3) != substring({t}[j], 3)
+          get({t}, j) = 'O' OR left(get({t}, j), 1) = 'B' OR get({t}, j-1) = 'O'
+          OR substring(get({t}, j-1), 3) != substring(get({t}, j), 3)
         )
       )),
       size({t})

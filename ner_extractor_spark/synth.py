@@ -32,7 +32,7 @@ ENTITIES: Dict[str, List[str]] = {
     "PER": ["John Smith", "Mary Major", "Alice Kwan", "Bob Stone"],
     "ORG": ["Acme Corp", "Globex", "Initech Ltd", "Reuters"],
     "LOC": ["Springfield", "New Holland", "Lake City", "Gotham"],
-    "MISC": ["Olympics", "World Cup", "Series A"],
+    "MISC": ["Olympics", "World Cup"],
 }
 
 # Alias known to gold but deliberately ABSENT from the tagger dictionary

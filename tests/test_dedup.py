@@ -1,0 +1,73 @@
+"""Dedup family: exact, MinHash-LSH, n-gram Jaccard, SimHash,
+embedding-cosine — deterministic md5-based constructions."""
+
+from pyspark.sql import functions as F
+
+from ner_extractor_spark.operators.dedup import (embedding_near_dups,
+                                                 exact_dedup, minhash_lsh_pairs,
+                                                 ngram_jaccard, simhash_dedup)
+
+DOCS = "doc_id long, text string"
+
+
+def _docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the green hills beyond the river")
+    near = base.replace("green", "blue")          # 1-word change
+    far = "completely unrelated text about spark shuffles and joins okay"
+    return spark.createDataFrame([
+        (1, base),
+        (2, base.upper()),        # exact dup modulo normalization
+        (3, near),                # near dup
+        (4, far),
+        (5, base),                # literal dup
+    ], DOCS)
+
+
+def test_exact_dedup(spark):
+    d = exact_dedup(_docs(spark))
+    rows = {r["keeper"]: r["n_dups"] for r in d.collect()}
+    assert rows[1] == 3          # 1, 2 (case), 5 (literal)
+    assert rows[3] == 1 and rows[4] == 1
+
+
+def test_minhash_and_jaccard(spark):
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(docs)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 5) in got and (1, 2) in got       # exact dups always collide
+    assert (1, 3) in got                          # near dup caught
+    assert (1, 4) not in got and (3, 4) not in got
+
+    j = ngram_jaccard(docs, pairs)
+    jm = {(r["a"], r["b"]): r["jaccard"] for r in j.collect()}
+    assert jm[(1, 5)] == 1.0
+    assert 0.5 < jm[(1, 3)] < 1.0
+
+
+def test_simhash(spark):
+    docs = _docs(spark)
+    pairs = simhash_dedup(docs, max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 5)] == 0 and got[(1, 2)] == 0
+    assert (1, 4) not in got
+
+
+def test_embedding_near_dups_exact_and_lsh(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (4, [1.0, 0.0, 0.0, 0.0]),     # identical to 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = embedding_near_dups(emb, threshold=0.95)
+    got = {(r["a"], r["b"]): r["cosine"] for r in exact.collect()}
+    assert got[(1, 4)] == 1.0
+    assert (1, 2) in got
+    assert (1, 3) not in got
+    # LSH-bucketed variant never reports a pair the exact one wouldn't
+    lsh = embedding_near_dups(emb, threshold=0.95, n_planes=2)
+    got_lsh = {(r["a"], r["b"]) for r in lsh.collect()}
+    assert got_lsh <= set(got)
+    assert (1, 4) in got_lsh   # identical vectors share every bucket

@@ -1,0 +1,74 @@
+"""Entity linking joins + connected-components kernel (FIXTURES.md §9)."""
+
+from pyspark.sql import functions as F
+
+from ner_extractor_spark.operators.cc import connected_components
+from ner_extractor_spark.operators.link import (link_exact, lsh_candidates,
+                                                norm_surface, unlinked)
+from ner_extractor_spark.schemas import ALIASES
+
+MEN = "url string, sent_id int, start int, end int, surface string, label string"
+
+
+def test_cc_chain_star_disjoint_selfloop(spark):
+    edges = []
+    # chain 0-1-2-...-9
+    edges += [(i, i + 1) for i in range(9)]
+    # star centered at 100
+    edges += [(100, x) for x in (101, 102, 103, 104)]
+    # disjoint pair + self loop
+    edges += [(200, 201), (300, 300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    comp = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert all(comp[i] == 0 for i in range(10))
+    assert all(comp[x] == 100 for x in (100, 101, 102, 103, 104))
+    assert comp[200] == comp[201] == 200
+    assert comp[300] == 300
+
+
+def test_cc_converges_on_long_chain(spark):
+    """Pointer jumping must beat O(diameter): a 60-node chain converges
+    within the 50-iteration cap (propagation alone would need 59)."""
+    edges = [(i, i + 1) for i in range(59)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    comp = connected_components(df, max_iter=15)
+    assert comp.filter(F.col("comp") != 0).count() == 0
+
+
+def test_link_exact_ambiguity_deterministic(spark):
+    aliases = spark.createDataFrame([
+        ("globex", "Q-1", "ORG", 1.0),
+        ("globex", "Q-2", "ORG", 0.25),   # lower prior loses
+        ("acme corp", "Q-3", "ORG", 1.0),
+    ], ALIASES)
+    mentions = spark.createDataFrame([
+        ("u", 0, 0, 0, "Globex", "ORG"),
+        ("u", 0, 2, 3, "ACME   Corp", "ORG"),   # case+whitespace normalize
+        ("u", 1, 0, 0, "Unknown Co", "ORG"),
+    ], MEN)
+    linked = link_exact(mentions, aliases)
+    rows = {(r["url"], r["sent_id"], r["start"]): r["entity_id"]
+            for r in linked.collect()}
+    assert rows[("u", 0, 0)] == "Q-1"            # max prior wins
+    assert rows[("u", 0, 2)] == "Q-3"            # normalization matched
+    assert ("u", 1, 0) not in rows
+    un = unlinked(mentions, aliases).collect()
+    assert [r["surface"] for r in un] == ["Unknown Co"]
+
+
+def test_lsh_candidates_find_typo(spark):
+    """A 1-char typo shares most char-3-gram shingles -> must surface as
+    a candidate pair; an unrelated string must not."""
+    left = spark.createDataFrame(
+        [("globexx",), ("completely different",)], "alias_norm string")
+    right = spark.createDataFrame(
+        [("globex",), ("acme corp",)], "alias_norm string")
+    cand = lsh_candidates(left, "alias_norm", right, "alias_norm")
+    pairs = {(r[0], r[1]) for r in cand.collect()}
+    assert ("globexx", "globex") in pairs
+    assert ("completely different", "acme corp") not in pairs
+
+
+def test_norm_surface(spark):
+    df = spark.createDataFrame([("  Acme   CORP ",)], "s string")
+    assert df.select(norm_surface(F.col("s")).alias("n")).collect()[0]["n"] == "acme corp"
