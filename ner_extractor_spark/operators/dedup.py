@@ -50,11 +50,16 @@ def word_shingles(col, n: int = 3):
     )
 
 
-def minhash_sig(col, n_hashes: int = N_HASHES, shingle_n: int = 3):
-    """Deterministic minhash signature: element k = min(md5(k||shingle))."""
-    sh = word_shingles(col, shingle_n)
+def minhash_sig_from(sh_col, n_hashes: int = N_HASHES):
+    """Minhash signature from a MATERIALIZED shingle-array column.
+
+    Perf note: always materialize the shingle array first (withColumn /
+    select) — inlining `word_shingles(text)` here would re-evaluate the
+    split/slice/concat pipeline once per hash function (a 10x+ slowdown
+    measured at sf0.1)."""
     return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{k}|"), s))))
+        F.array_min(F.transform(sh_col,
+                                lambda s: F.md5(F.concat(F.lit(f"{k}|"), s))))
         for k in range(n_hashes)
     ])
 
@@ -68,9 +73,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     The band hash concatenates `band_size` minhashes, so bucket
     cardinality is huge and the self-join shuffle is well spread.
     """
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(minhash_sig(F.col(text_col), n_hashes)).alias("k", "h"),
+    base = docs.select(F.col(id_col).alias("id"),
+                       word_shingles(F.col(text_col)).alias("sh"))
+    sig = base.select(
+        "id",
+        F.posexplode(minhash_sig_from(F.col("sh"), n_hashes)).alias("k", "h"),
     ).withColumn("band", (F.col("k") / band_size).cast("int"))
     bands = sig.groupBy("id", "band").agg(
         F.concat_ws("", F.array_sort(F.collect_list(F.struct("k", "h")).getField("h")))
@@ -99,20 +106,19 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
     )
 
 
-def simhash_bits(col, n_bits: int = 16):
-    """SimHash fingerprint as an array of n_bits 0/1 ints.
+def simhash_bits_from(hexes_col, n_bits: int = 16):
+    """SimHash fingerprint (array of n_bits 0/1 ints) from a MATERIALIZED
+    per-token md5 array column (materialize first — see minhash_sig_from).
 
     Bit j = majority vote over tokens of bit j of md5(token); a token's
     bit j = 1 iff hex digit j of its md5 is >= '8' (top bit of nibble).
     Deterministic, portable (same formula reproducible in ANSI SQL).
     """
-    toks = F.split(normalize_text(col), " ")
-    hexes = F.transform(toks, lambda t: F.md5(t))
     return F.array(*[
-        (F.size(F.filter(hexes,
+        (F.size(F.filter(hexes_col,
                          lambda h: F.upper(F.substring(h, j + 1, 1))
                          .isin("8", "9", "A", "B", "C", "D", "E", "F")))
-         * 2 > F.size(hexes)).cast("int")
+         * 2 > F.size(hexes_col)).cast("int")
         for j in range(n_bits)
     ])
 
@@ -123,8 +129,10 @@ def simhash_dedup(docs: DataFrame, id_col: str = "doc_id",
     """Near-dup pairs by SimHash: bucket on fingerprint halves (any pair
     within hamming distance <= n_bits/2 shares at least one half — the
     standard pigeonhole blocking), verify hamming <= max_hamming."""
-    fp = docs.select(F.col(id_col).alias("id"),
-                     simhash_bits(F.col(text_col), n_bits).alias("bits"))
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    fp = (docs.select(F.col(id_col).alias("id"),
+                      F.transform(toks, lambda t: F.md5(t)).alias("hexes"))
+          .select("id", simhash_bits_from(F.col("hexes"), n_bits).alias("bits")))
     half = n_bits // 2
     blocks = fp.select(
         "id", "bits",

@@ -71,13 +71,13 @@ def _shingles(col, n: int = SHINGLE):
     )
 
 
-def minhash_signature(col, n_hashes: int = N_HASHES):
-    """Deterministic engine-portable minhash: for seed k, the signature
-    element is min(md5(k || shingle)).  Identical in any engine with md5
-    (the DuckDB oracle recomputes it verbatim)."""
-    sh = _shingles(col)
+def minhash_signature_from(sh_col, n_hashes: int = N_HASHES):
+    """Deterministic engine-portable minhash from a MATERIALIZED shingle
+    column: for seed k, the signature element is min(md5(k || shingle)).
+    Identical in any engine with md5.  (Materialize the shingle array
+    first — inlining the shingle expression re-evaluates it per hash.)"""
     return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(str(k) + "|"), s))))
+        F.array_min(F.transform(sh_col, lambda s: F.md5(F.concat(F.lit(str(k) + "|"), s))))
         for k in range(n_hashes)
     ])
 
@@ -94,9 +94,11 @@ def lsh_candidates(left: DataFrame, left_key: str,
     """
     def bands(df, key):
         return (
-            df.select(
+            df.select(F.col(key),
+                      _shingles(norm_surface(F.col(key))).alias("_sh"))
+            .select(
                 F.col(key),
-                F.posexplode(minhash_signature(norm_surface(F.col(key)), n_hashes))
+                F.posexplode(minhash_signature_from(F.col("_sh"), n_hashes))
                 .alias("band", "h"),
             )
         )

@@ -71,6 +71,19 @@ def group_kfold(df: DataFrame, group: str, n_splits: int = 5) -> DataFrame:
     return df.join(F.broadcast(fold_df), on=group, how="inner")
 
 
+def group_fold_rr(df: DataFrame, group: str, n_splits: int = 5) -> DataFrame:
+    """Fully-declarative GroupKFold variant: groups sorted by descending
+    size get folds round-robin.  Slightly coarser balance than the greedy
+    `group_kfold`, but zero driver involvement and expressible in ANSI
+    SQL (the correctness-oracle-checkable flavor).  Adds `fold`."""
+    sizes = df.groupBy(group).agg(F.count(F.lit(1)).alias("_gsize"))
+    w = Window.orderBy(F.desc("_gsize"), F.col(group))
+    folds = sizes.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % n_splits).cast("int")
+    ).select(group, "fold")
+    return df.join(F.broadcast(folds), on=group, how="inner")
+
+
 def random_subsample(df: DataFrame, key: str, k: int, seed: int = 42) -> DataFrame:
     """T7: deterministic k-row subsample (viz / spot checks)."""
     return df.orderBy(hash_order(F.col(key), seed)).limit(k)

@@ -26,7 +26,7 @@ from ..operators.extract import extract_sentences
 from ..operators.link import link_exact, lsh_candidates, norm_surface, unlinked
 from ..operators.ner import tag_sentences
 from ..operators.spans import extract_mentions
-from ..operators.triples import extract_triples
+from ..operators.triples import extract_triples_local
 from .checkpoints import StageManifest, write_stage
 
 
@@ -60,8 +60,9 @@ def run_kg_pipeline(
     mentions = write_stage(
         man, "mentions", extract_mentions(tagged), run_id=run_id)
 
+    # zero-shuffle fused extractor: triple pairing is sentence-local
     triples_raw = write_stage(
-        man, "triples_raw", extract_triples(tagged, mentions), run_id=run_id)
+        man, "triples_raw", extract_triples_local(tagged), run_id=run_id)
 
     # --- linking ---------------------------------------------------------
     linked = link_exact(mentions, aliases)

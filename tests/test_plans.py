@@ -1,0 +1,60 @@
+"""Physical-plan shape gates (SURVEY §4): these pin the scale posture,
+not just results — column pruning reaches the scan, the fused
+pages->triples pipeline is exchange-free, and the alias join broadcasts."""
+
+from pyspark.sql import functions as F
+
+from ner_extractor_spark import synth
+from ner_extractor_spark.operators.extract import extract_sentences
+from ner_extractor_spark.operators.link import link_exact
+from ner_extractor_spark.operators.ner import tag_sentences
+from ner_extractor_spark.operators.spans import extract_mentions
+from ner_extractor_spark.operators.triples import extract_triples_local
+from ner_extractor_spark.schemas import ALIASES, PAGES
+
+
+def _pages_on_disk(spark, tmp_path):
+    pages = spark.createDataFrame(synth.pages_rows(synth.gold_corpus(20)),
+                                  schema=PAGES)
+    p = str(tmp_path / "pages")
+    pages.write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_html_column_pruned_from_sentence_scan(spark, tmp_path):
+    pages = _pages_on_disk(spark, tmp_path)
+    plan = extract_sentences(pages, lang="en")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the parquet ReadSchema must not fetch the html binary
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema, plan
+
+
+def test_lang_filter_pushed_to_scan(spark, tmp_path):
+    pages = _pages_on_disk(spark, tmp_path)
+    plan = extract_sentences(pages, lang="en")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_pages_to_triples_is_exchange_free(spark, tmp_path):
+    pages = _pages_on_disk(spark, tmp_path)
+    tagged = tag_sentences(extract_sentences(pages, lang=None),
+                           synth.tagger_dictionary())
+    plan = extract_triples_local(tagged)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    plan2 = extract_mentions(tagged)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan2, plan2
+
+
+def test_alias_join_is_broadcast(spark, tmp_path):
+    pages = _pages_on_disk(spark, tmp_path)
+    tagged = tag_sentences(extract_sentences(pages, lang=None),
+                           synth.tagger_dictionary())
+    mentions = extract_mentions(tagged)
+    aliases = spark.createDataFrame(synth.alias_rows(), schema=ALIASES)
+    plan = link_exact(mentions, aliases)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
