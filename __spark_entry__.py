@@ -167,6 +167,33 @@ men AS (
 
 MEN_SQL = _men_sql(GAZ)
 
+
+def _men_cte_only(gaz: dict, prefix: str) -> str:
+    """Additional mention CTEs (referencing the existing `toks` CTE) for
+    a second gazetteer in the same WITH block."""
+    uni = {k[0]: v for k, v in gaz.items() if len(k) == 1}
+    big = {k: v for k, v in gaz.items() if len(k) == 2}
+    uni_case = " ".join(
+        f"WHEN tok = '{t}' THEN '{l}'" for t, l in sorted(uni.items()))
+    big_case = " ".join(
+        f"WHEN tok = '{a}' AND ntok = '{b}' THEN '{l}'"
+        for (a, b), l in sorted(big.items()))
+    return f""",
+{prefix}tl AS (
+  SELECT url, sent_id, pos, tok,
+         lead(tok) OVER (PARTITION BY url, sent_id ORDER BY pos) AS ntok
+  FROM toks
+),
+{prefix}men AS (
+  SELECT url, sent_id, pos AS start, pos + 1 AS "end",
+         tok || ' ' || ntok AS surface,
+         CASE {big_case} END AS label
+  FROM {prefix}tl WHERE CASE {big_case} END IS NOT NULL
+  UNION ALL
+  SELECT url, sent_id, pos, pos, tok, CASE {uni_case} END
+  FROM {prefix}tl WHERE CASE {uni_case} END IS NOT NULL
+)"""
+
 ALIAS_VALUES = ", ".join(
     f"('{a}', '{e}', '{t}', {p})" for a, e, t, p in ALIASES)
 
@@ -262,6 +289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pred = _mentions(spark, sf, GAZ)
         gold = _mentions(spark, sf, GAZ_GOLD)
         return span_prf_df(pred, gold)
+
+    def kg_metrics_per_type(spark, sf):
+        from ner_extractor_spark.operators.metrics import per_type_report
+        pred = _mentions(spark, sf, GAZ)
+        gold = _mentions(spark, sf, GAZ_GOLD)
+        return per_type_report(pred, gold)
 
     def cc_components(spark, sf):
         from ner_extractor_spark.operators.cc import connected_components
@@ -436,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "kg_link_alias": kg_link_alias,
         "kg_metrics_prf": kg_metrics_prf,
+        "kg_metrics_per_type": kg_metrics_per_type,
         "cc_components": cc_components,
         "dedup_exact": dedup_exact_q,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -695,6 +729,32 @@ SELECT CAST(tp AS BIGINT) AS tp, CAST(n_pred AS BIGINT) AS n_pred,
        round(CAST(tp AS DOUBLE) / n_gold, 6) AS recall,
        round(2.0 * tp / (n_pred + n_gold), 6) AS f1
 FROM counts""",
+
+        "kg_metrics_per_type": f"""
+WITH {MEN_SQL}{_men_cte_only(GAZ_GOLD, 'g')},
+tp AS (
+  SELECT p.label, count(*) AS tp
+  FROM men p JOIN gmen g
+    ON p.url = g.url AND p.sent_id = g.sent_id AND p.label = g.label
+   AND p.start = g.start AND p."end" = g."end"
+  GROUP BY p.label
+),
+np AS (SELECT label, count(*) AS n_pred FROM men GROUP BY label),
+ng AS (SELECT label, count(*) AS support FROM gmen GROUP BY label),
+merged AS (
+  SELECT coalesce(ng.label, np.label, tp.label) AS label,
+         coalesce(tp.tp, 0) AS tp,
+         coalesce(np.n_pred, 0) AS n_pred,
+         coalesce(ng.support, 0) AS support
+  FROM ng FULL JOIN np ON ng.label = np.label
+          FULL JOIN tp ON coalesce(ng.label, np.label) = tp.label
+)
+SELECT label, CAST(tp AS BIGINT) AS tp, CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(support AS BIGINT) AS support,
+       round(CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END, 6) AS "precision",
+       round(CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN n_pred + support > 0 THEN 2.0 * tp / (n_pred + support) ELSE 0.0 END, 6) AS f1
+FROM merged""",
 
         "cc_components": """
 SELECT doc_id AS node, min(doc_id) OVER (PARTITION BY source) AS comp

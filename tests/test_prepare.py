@@ -1,0 +1,74 @@
+"""§3.1 prepare pipeline: union + stratified split + byte-parity sink."""
+
+import random
+
+from ner_extractor_spark.functions.bio import build_bio_tags
+from ner_extractor_spark.plans.prepare import prepare_corpus
+from ner_extractor_spark.sources.conll import (Sentence, read_conll_file,
+                                               serialize_conll,
+                                               write_conll_file)
+
+
+def _corpus(seed, n):
+    rng = random.Random(seed)
+    sents = []
+    for i in range(n):
+        label = rng.choice(["PER", "ORG", "LOC", "O"])
+        toks = [f"w{i}_{j}" for j in range(rng.randint(2, 6))]
+        ner = ["O"] * len(toks)
+        if label != "O":
+            ner[:2] = build_bio_tags(label, min(2, len(toks)))
+        sents.append(Sentence(toks, ["NN"] * len(toks), ["O"] * len(toks), ner))
+    return sents
+
+
+def test_prepare_corpus(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    train = _corpus(1, 120)
+    dev = _corpus(2, 40)
+    test = _corpus(3, 30)
+    write_conll_file(train, raw / "train.txt")
+    write_conll_file(dev, raw / "dev.txt")
+    write_conll_file(test, raw / "test.txt")
+
+    out = tmp_path / "proc"
+    paths = prepare_corpus(spark, str(raw), str(out), val_ratio=0.25)
+
+    tr = read_conll_file(paths["train"])
+    va = read_conll_file(paths["validation"])
+    te = read_conll_file(paths["test"])
+
+    # partition of the train∪dev pool, exact byte round-trip of test
+    assert len(tr) + len(va) == 160
+    assert serialize_conll(te) == serialize_conll(test)
+    pool_keys = sorted(s.key() for s in train + dev)
+    assert sorted(s.key() for s in tr + va) == pool_keys
+
+    # per-stratum quota is exact: ~25% of each primary label
+    def by_label(sents):
+        d = {}
+        for s in sents:
+            d.setdefault(s.tokens and _primary(s) or "O", []).append(s)
+        return d
+
+    def _primary(s):
+        for t in s.ner_tags:
+            if t != "O":
+                return t.split("-", 1)[-1]
+        return "O"
+
+    pool_counts = {}
+    for s in train + dev:
+        pool_counts[_primary(s)] = pool_counts.get(_primary(s), 0) + 1
+    val_counts = {}
+    for s in va:
+        val_counts[_primary(s)] = val_counts.get(_primary(s), 0) + 1
+    for lbl, n in pool_counts.items():
+        assert val_counts.get(lbl, 0) == round(n * 0.25)
+
+    # deterministic: rerun produces byte-identical files
+    out2 = tmp_path / "proc2"
+    paths2 = prepare_corpus(spark, str(raw), str(out2), val_ratio=0.25)
+    assert paths["train"].read_bytes() == paths2["train"].read_bytes()
+    assert paths["validation"].read_bytes() == paths2["validation"].read_bytes()
