@@ -79,7 +79,9 @@ def tag_sentences(sentences: DataFrame, dictionary: Dict[Tuple[str, ...], str]) 
             pdf["pred_tags"] = [model.tag(list(t)) for t in pdf["tokens"]]
             yield pdf
 
-    return sentences.select("url", "sent_id", "tokens", "sent_text").mapInPandas(
+    # input pruned to exactly what inference needs (Arrow width matters:
+    # sent_text duplicates tokens byte-for-byte)
+    return sentences.select("url", "sent_id", "tokens").mapInPandas(
         fn, schema=TAGGED)
 
 

@@ -25,8 +25,14 @@ SENTENCES = StructType([
     StructField("sent_text", StringType(), False),
 ])
 
-# sentences -> word-level BIO tags (operators/ner.py).
-TAGGED = StructType(SENTENCES.fields + [
+# sentences -> word-level BIO tags (operators/ner.py).  sent_text is
+# deliberately NOT carried through the inference UDF: pruning it halves
+# the Arrow exchange width, and it is reconstructable as
+# concat_ws(' ', tokens) (byte-exact, SURVEY F9).
+TAGGED = StructType([
+    StructField("url", StringType(), False),
+    StructField("sent_id", IntegerType(), False),
+    StructField("tokens", ArrayType(StringType()), False),
     StructField("pred_tags", ArrayType(StringType()), False),
 ])
 
