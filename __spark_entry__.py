@@ -448,6 +448,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id",
                         hash_order(F.col("doc_id")).alias("h"))
 
+    def augment_entities(spark, sf):
+        # G1-G3: entity-aware augmentation over the kg mentions (no SQL
+        # oracle — the splice walk is not reasonably SQL-expressible;
+        # driver records the rows-only check; semantics pinned in
+        # tests/test_augment.py)
+        from ner_extractor_spark.operators.augment import \
+            entity_aware_augmentation
+        tagged = _tagged(spark, sf)
+        mentions = _mentions(spark, sf)
+        out = entity_aware_augmentation(tagged, mentions, replace_prob=0.3)
+        return out.select("url", "sent_id",
+                          F.concat_ws(" ", "tokens").alias("aug_text"),
+                          F.concat_ws(" ", "ner_tags").alias("aug_tags"),
+                          "loss_weight")
+
+    def embed_kmeans(spark, sf):
+        # M9+A13: seeded KMeans clusters (MLlib-internal numerics -> no
+        # cross-engine oracle; determinism pinned in tests/test_embed_viz)
+        from ner_extractor_spark.operators.embed_viz import kmeans_clusters
+        out = kmeans_clusters(_emb(spark, sf), k=8)
+        return (out.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select("cluster", "n"))
+
+    def multimodal_features(spark, sf):
+        # binary-column plumbing: html bytes -> deterministic features
+        from ner_extractor_spark.operators.multimodal import extract_features
+        media = _pages(spark, sf).select(
+            F.xxhash64("url").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("html").alias("payload"))
+        f = extract_features(media)
+        return f.select("media_id", "kind",
+                        F.round(F.aggregate("feature", F.lit(0.0),
+                                            lambda a, v: a + v), 6)
+                        .alias("feature_sum"))
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -495,6 +532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_group_fold": split_group_fold,
         "sample_deterministic": sample_deterministic,
         "set_ops": set_ops,
+        # rows-only checks (non-SQL-expressible; pinned by pytest instead)
+        "augment_entities": augment_entities,
+        "embed_kmeans": embed_kmeans,
+        "multimodal_features": multimodal_features,
     }
 
 
