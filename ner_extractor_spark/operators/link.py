@@ -123,5 +123,6 @@ def salt_explode(big: DataFrame, small: DataFrame, key: str, k: int = 16,
     salt_col = F.pmod(F.xxhash64(F.col(salt_src or key)), F.lit(k)).cast("int")
     big_s = big.withColumn("_salt", salt_col)
     small_s = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).cast("int"))
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    small_s = small_s.withColumn("_salt", F.col("_salt").cast("int"))
     return big_s, small_s, [key, "_salt"]
