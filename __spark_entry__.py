@@ -316,6 +316,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         return ngram_jaccard(d, minhash_lsh_pairs(d))
 
+    def dedup_resolve(spark, sf):
+        from ner_extractor_spark.operators.dedup import resolve_duplicates
+        d = _docs(spark, sf)
+        return resolve_duplicates(d, minhash_lsh_pairs(d))
+
     def dedup_simhash(spark, sf):
         return simhash_dedup(_docs(spark, sf), max_hamming=2)
 
@@ -511,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact_q,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_jaccard": dedup_jaccard,
+        "dedup_resolve": dedup_resolve,
         "dedup_simhash": dedup_simhash,
         "embedding_near_dups": embedding_near_dups_q,
         "ann_topk": ann_topk,
@@ -828,6 +834,21 @@ FROM mpairs p
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 JOIN sizes za ON za.doc_id = p.a
 JOIN sizes zb ON zb.doc_id = p.b""",
+
+        "dedup_resolve": f"""
+WITH RECURSIVE {_minhash_bands_sql()},
+sym AS (
+  SELECT a AS s, b AS t FROM mpairs
+  UNION SELECT b, a FROM mpairs
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT sym.t, reach.comp FROM sym JOIN reach ON sym.s = reach.node
+),
+canon AS (SELECT node, min(comp) AS keeper FROM reach GROUP BY node)
+SELECT d.doc_id, c.keeper, d.doc_id = c.keeper AS is_keeper
+FROM documents d JOIN canon c ON c.node = d.doc_id""",
 
         "dedup_simhash": f"""
 WITH {_simhash_bits_sql(16)},

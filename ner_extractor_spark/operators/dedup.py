@@ -151,6 +151,26 @@ def simhash_dedup(docs: DataFrame, id_col: str = "doc_id",
             .select("a", "b", "hamming").distinct())
 
 
+def resolve_duplicates(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs -> canonical keeper per duplicate cluster.
+
+    Transitive closure via connected components (a~b, b~c => one
+    cluster); keeper = min id.  Returns (doc_id, keeper, is_keeper) for
+    EVERY input doc (singletons keep themselves) — the standard
+    "drop non-keepers" training-data dedup contract.
+    """
+    from .cc import connected_components
+
+    comp = connected_components(pairs, src="a", dst="b")
+    ids = docs.select(F.col(id_col))
+    out = (ids.join(comp.withColumnRenamed("node", id_col), on=id_col,
+                    how="left")
+           .select(id_col,
+                   F.coalesce("comp", F.col(id_col)).alias("keeper")))
+    return out.withColumn("is_keeper", (F.col(id_col) == F.col("keeper")))
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
