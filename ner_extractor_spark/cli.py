@@ -28,18 +28,20 @@ def main(argv=None):
     kg.add_argument("--run-id", default="run0")
     args = p.parse_args(argv)
 
-    from .session import get_spark
-    spark = get_spark(app_name="kg-pipeline")
+    # absolute imports so this file also works as a spark-submit primary
+    # script (spark-submit runs it top-level, outside the package)
+    from ner_extractor_spark import synth
+    from ner_extractor_spark.plans.kg_pipeline import run_kg_pipeline
+    from ner_extractor_spark.schemas import ALIASES, PAGES
+    from ner_extractor_spark.session import get_spark
 
-    from . import synth
-    from .plans.kg_pipeline import run_kg_pipeline
-    from .schemas import ALIASES, PAGES
+    spark = get_spark(app_name="kg-pipeline")
 
     if args.synth:
         pages = spark.createDataFrame(
             synth.pages_rows(synth.gold_corpus(args.synth)), schema=PAGES)
     else:
-        from .sources.pages import read_pages
+        from ner_extractor_spark.sources.pages import read_pages
         pages = read_pages(spark, args.pages)
     aliases = spark.createDataFrame(synth.alias_rows(), schema=ALIASES)
 
