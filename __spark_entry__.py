@@ -290,6 +290,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gold = _mentions(spark, sf, GAZ_GOLD)
         return span_prf_df(pred, gold)
 
+    def kg_token_accuracy(spark, sf):
+        # A10 accuracy: token-level tag agreement between the standard
+        # and gold gazetteers (seqeval accuracy_score semantics)
+        from ner_extractor_spark.operators.metrics import token_accuracy
+        pred = _tagged(spark, sf, GAZ).select(
+            "url", "sent_id", F.col("pred_tags"))
+        gold = _tagged(spark, sf, GAZ_GOLD).select(
+            "url", "sent_id", F.col("pred_tags").alias("gold_tags"))
+        return token_accuracy(pred.join(gold, on=["url", "sent_id"]))
+
     def kg_metrics_per_type(spark, sf):
         from ner_extractor_spark.operators.metrics import per_type_report
         pred = _mentions(spark, sf, GAZ)
@@ -512,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_alias": kg_link_alias,
         "kg_metrics_prf": kg_metrics_prf,
         "kg_metrics_per_type": kg_metrics_per_type,
+        "kg_token_accuracy": kg_token_accuracy,
         "cc_components": cc_components,
         "dedup_exact": dedup_exact_q,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -776,6 +787,41 @@ SELECT CAST(tp AS BIGINT) AS tp, CAST(n_pred AS BIGINT) AS n_pred,
        round(CAST(tp AS DOUBLE) / n_gold, 6) AS recall,
        round(2.0 * tp / (n_pred + n_gold), 6) AS f1
 FROM counts""",
+
+        "kg_token_accuracy": f"""
+WITH {TOKS_SQL},
+tg AS (
+  SELECT url, sent_id, pos, tok,
+         lead(tok) OVER w AS ntok, lag(tok) OVER w AS ptok
+  FROM toks WINDOW w AS (PARTITION BY url, sent_id ORDER BY pos)
+),
+ptags AS (
+  SELECT url, sent_id, pos,
+    CASE WHEN tok = 'customer' AND ntok = 'join' THEN 'B-ALGO'
+         WHEN tok = 'table' AND ntok = 'hash' THEN 'B-ALGO'
+         WHEN ptok = 'customer' AND tok = 'join' THEN 'I-ALGO'
+         WHEN ptok = 'table' AND tok = 'hash' THEN 'I-ALGO'
+         WHEN tok = 'spark' THEN 'B-ORG'
+         WHEN tok = 'window' THEN 'B-MISC'
+         WHEN tok = 'stream' THEN 'B-MISC'
+         ELSE 'O' END AS tag
+  FROM tg
+),
+gtags AS (
+  SELECT url, sent_id, pos,
+    CASE WHEN tok = 'customer' AND ntok = 'join' THEN 'B-ALGO'
+         WHEN tok = 'table' AND ntok = 'hash' THEN 'B-ALGO'
+         WHEN tok = 'merge' AND ntok = 'group' THEN 'B-ALGO'
+         WHEN ptok = 'customer' AND tok = 'join' THEN 'I-ALGO'
+         WHEN ptok = 'table' AND tok = 'hash' THEN 'I-ALGO'
+         WHEN ptok = 'merge' AND tok = 'group' THEN 'I-ALGO'
+         WHEN tok = 'spark' THEN 'B-ORG'
+         WHEN tok = 'window' THEN 'B-MISC'
+         ELSE 'O' END AS tag
+  FROM tg
+)
+SELECT round(avg(CASE WHEN p.tag = g.tag THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM ptags p JOIN gtags g USING (url, sent_id, pos)""",
 
         "kg_metrics_per_type": f"""
 WITH {MEN_SQL}{_men_cte_only(GAZ_GOLD, 'g')},

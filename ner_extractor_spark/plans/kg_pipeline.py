@@ -48,6 +48,7 @@ def run_kg_pipeline(
     work_dir: str,
     lang: str | None = "en",
     run_id: str = "run0",
+    predicates=None,
 ) -> KGResult:
     man = StageManifest(work_dir)
 
@@ -61,8 +62,11 @@ def run_kg_pipeline(
         man, "mentions", extract_mentions(tagged), run_id=run_id)
 
     # zero-shuffle fused extractor: triple pairing is sentence-local
+    from ..operators.triples import DEFAULT_PREDICATES
     triples_raw = write_stage(
-        man, "triples_raw", extract_triples_local(tagged), run_id=run_id)
+        man, "triples_raw",
+        extract_triples_local(tagged, predicates=predicates or DEFAULT_PREDICATES),
+        run_id=run_id)
 
     # --- linking ---------------------------------------------------------
     linked = link_exact(mentions, aliases)
