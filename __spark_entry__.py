@@ -64,7 +64,13 @@ def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
     The sandbox sf tables are one parquet file = one input split; without
     this every map-heavy stage runs on a single task no matter how many
     cores exist.  At real scale the input arrives in thousands of files
-    and this is a no-op decision (keyed repartition = deterministic)."""
+    and this is a no-op decision (keyed repartition = deterministic).
+
+    Also ships the package to executors: the caller's SparkSession may
+    not have been built by ner_extractor_spark.session.get_spark, and
+    Python workers don't inherit the driver's sys.path."""
+    from ner_extractor_spark.session import _ship_package
+    _ship_package(spark)
     return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
 
 
