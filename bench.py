@@ -75,17 +75,20 @@ def scaling_run(cpus: str, sf_dir: str, replicate: int = 96) -> dict:
     spark = get_spark(
         app_name=f"bench-scaling-{cpus}", master=f"local[{cpus}]",
         extra_conf={"spark.sql.shuffle.partitions": str(2 * int(cpus))})
-    # repartition BEFORE the explode: replicas stay in the partition of
-    # their base url and the big exploded corpus is never shuffled.
-    # Partition count is FIXED (not a function of cpus) so both cluster
-    # sizes run the identical job — the N-vs-4N comparison is then purely
-    # about parallelism, not per-partition amortization.
-    pages = (
-        E._pages(spark, sf_dir)
-        .repartition(64, "url")
-        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(replicate))))
-        .withColumn("url", F.concat("url", F.lit("#"), F.col("rep")))
-        .drop("rep"))
+    # Stage the replicated corpus as a MANY-FILE parquet table first (the
+    # production input shape: a 100 TB corpus arrives as thousands of
+    # files, not as one shuffle).  File count is FIXED (not a function of
+    # cpus) so both cluster sizes run the identical job — the N-vs-4N
+    # comparison is then purely about parallelism.
+    import tempfile
+    staged = tempfile.mkdtemp(prefix=f"kgbench{cpus}_") + "/pages"
+    (E._pages(spark, sf_dir)
+     .repartition(64, "url")
+     .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(replicate))))
+     .withColumn("url", F.concat("url", F.lit("#"), F.col("rep")))
+     .drop("rep")
+     .write.parquet(staged))
+    pages = spark.read.parquet(staged)
     n_pages = pages.count()
     _warm_python_workers(spark, int(cpus))
 
