@@ -341,8 +341,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_dedup(_docs(spark, sf), max_hamming=2)
 
     def embedding_near_dups_q(spark, sf):
+        # the LSH-banded scale path IS the verified default (16 hyperplane
+        # bits in 4 bands of 4); exact n_planes=0 is an explicit audit mode
         from ner_extractor_spark.operators.dedup import embedding_near_dups
-        return embedding_near_dups(_emb(spark, sf), threshold=0.4)
+        return embedding_near_dups(_emb(spark, sf), threshold=0.4,
+                                   n_planes=16, band_size=4)
 
     def ann_topk(spark, sf):
         e = _emb(spark, sf)
@@ -657,6 +660,33 @@ en AS (
 )"""
 
 
+def _hyperplane_bands_sql(n_planes: int = 16, band_size: int = 4) -> str:
+    """Banded random-hyperplane LSH blocks (mirrors
+    operators/dedup.embedding_near_dups exactly): bit k of a vector is
+    sign(sum_d v[d] * ±1), where the ±1 is md5(k|d)-parity (d 0-indexed —
+    DuckDB's unnest index i is 1-based, hence i - 1)."""
+    return f"""
+pb AS (
+  SELECT ef.vec_id, t.k,
+         CASE WHEN sum(ef.v * CASE WHEN substring(md5(CAST(t.k AS VARCHAR) || '|' ||
+                    CAST(ef.i - 1 AS VARCHAR)), 1, 1)
+                    IN ('8','9','a','b','c','d','e','f')
+                    THEN 1.0 ELSE -1.0 END) > 0 THEN 1 ELSE 0 END AS bit
+  FROM ef, unnest(generate_series(0, {n_planes - 1})) t(k)
+  GROUP BY ef.vec_id, t.k
+),
+eblocks AS (
+  SELECT vec_id,
+         CAST(CAST(floor(k / {band_size}.0) AS INT) AS VARCHAR) || ':' ||
+         string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS block
+  FROM pb GROUP BY vec_id, CAST(floor(k / {band_size}.0) AS INT)
+),
+epairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM eblocks x JOIN eblocks y ON x.block = y.block AND x.vec_id < y.vec_id
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     pred_list = ", ".join(f"'{p}'" for p in PREDICATES)
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
@@ -926,11 +956,13 @@ FROM spairs
 WHERE len(list_filter(list_zip(ba, bb), z -> z[1] != z[2])) <= 2""",
 
         "embedding_near_dups": f"""
-WITH {EMB_FLAT_SQL},
+WITH {EMB_FLAT_SQL},{_hyperplane_bands_sql(16, 4)},
 dots AS (
-  SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS d
-  FROM ef a JOIN ef b ON a.i = b.i AND a.vec_id < b.vec_id
-  GROUP BY a.vec_id, b.vec_id
+  SELECT p.a, p.b, sum(fa.v * fb.v) AS d
+  FROM epairs p
+  JOIN ef fa ON fa.vec_id = p.a
+  JOIN ef fb ON fb.vec_id = p.b AND fb.i = fa.i
+  GROUP BY p.a, p.b
 )
 SELECT d.a, d.b, round(d.d / (na.nrm * nb.nrm), 6) AS cosine
 FROM dots d JOIN en na ON na.vec_id = d.a JOIN en nb ON nb.vec_id = d.b

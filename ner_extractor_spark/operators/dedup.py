@@ -92,17 +92,32 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   shingle_n: int = 3) -> DataFrame:
     """Exact Jaccard similarity for candidate pairs (verification phase).
-    jaccard = |A ∩ B| / |A ∪ B| over word shingles."""
+    jaccard = |A ∩ B| / |A ∪ B| over word shingles.
+
+    Shuffle shape: shingles are EXPLODED once, so the joins shuffle
+    (pair, shingle) rows — never whole documents' shingle arrays.  The
+    intersection count is a groupBy over candidate pairs only; pair
+    cardinality is bounded by the LSH candidate set, so the wide state
+    stays tiny even when documents are megabytes."""
     sh = docs.select(F.col(id_col).alias("id"),
-                     word_shingles(F.col(text_col), shingle_n).alias("sh"))
-    j = (pairs
-         .join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), "a")
-         .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), "b"))
-    inter = F.size(F.array_intersect("sha", "shb"))
-    union = F.size(F.array_union("sha", "shb"))
-    return j.select(
-        "a", "b",
-        F.round(inter / union, 6).alias("jaccard"),
+                     F.explode(word_shingles(F.col(text_col), shingle_n))
+                     .alias("shingle"))
+    # word_shingles is array_distinct, so count(*) == set size
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
+    inter = (
+        pairs
+        .join(sh.select(F.col("id").alias("a"), "shingle"), on="a")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), on=["b", "shingle"])
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    ni = F.coalesce(F.col("ninter"), F.lit(0))
+    return (
+        pairs
+        .join(inter, on=["a", "b"], how="left")
+        .join(sizes.select(F.col("id").alias("a"), F.col("nsh").alias("na")), on="a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("nsh").alias("nb")), on="b")
+        .select("a", "b",
+                F.round(ni / (F.col("na") + F.col("nb") - ni), 6).alias("jaccard"))
     )
 
 
@@ -174,14 +189,21 @@ def resolve_duplicates(docs: DataFrame, pairs: DataFrame,
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        n_planes: int = 0) -> DataFrame:
+                        n_planes: int = 16, band_size: int = 4) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
-    n_planes == 0: exact — self-join blocked by `label`-free full cross
-    within buckets is avoided by joining on nothing? No: exact mode is a
-    full pairwise (use only at audit scale / small partitions).
-    n_planes > 0: random-hyperplane LSH buckets (deterministic planes from
-    md5 of the dimension index) — pairs within a bucket only; the scale path.
+    DEFAULT (the scale path): banded random-hyperplane LSH.  Each vector
+    gets an ``n_planes``-bit sign sketch (bit k = sign(v · plane_k), with
+    plane_k a deterministic ±1 pattern from md5(k|dim) parity — engine-
+    portable, so the DuckDB oracle recomputes the identical buckets).
+    Bits are banded ``band_size`` at a time (minhash-style OR-construction:
+    pairs agreeing on ANY band become candidates), candidates are verified
+    with the exact cosine.  Nothing computes an n² cross join; the only
+    wide ops are the block-key self-join and the two sparse id joins that
+    fetch candidate vectors.
+
+    n_planes == 0 is the EXPLICIT exact-audit mode (full pairwise) — never
+    the default, only for small-sample recall audits.
     """
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
@@ -190,8 +212,10 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
 
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if n_planes > 0:
-        # sign sketch: bit_k = sign(sum_d v[d] * plane_k[d]), planes from
-        # a deterministic +-1 pattern keyed by md5(k|d) parity
+        # sign sketch: bit_k = sign(sum_d v[d] * plane_k[d]).  The md5-in-
+        # expression keeps the planes oracle-reproducible; at production
+        # scale precompute the (n_planes × dim) ±1 matrix once and ship it
+        # as a broadcast literal — same bits, one hash per cell total.
         def plane_bit(vcol, k):
             return (F.aggregate(
                 F.zip_with(
@@ -204,11 +228,23 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                     lambda a, b: a * b),
                 F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
 
-        e = e.withColumn("bucket", F.concat_ws("", *[
+        n_bands = max(n_planes // band_size, 1)
+        # bits MATERIALIZED once (see minhash_sig_from), then banded into
+        # "band:bitstring" block keys — high-cardinality shuffle key.
+        bits = e.withColumn("bits", F.array(*[
             plane_bit(F.col("v"), k) for k in range(n_planes)]))
-        a = e.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
-        b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
-        pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+        blocks = bits.select("id", F.explode(F.array(*[
+            F.concat(F.lit(f"{bnd}:"),
+                     F.concat_ws("", F.slice("bits", bnd * band_size + 1,
+                                             band_size)))
+            for bnd in range(n_bands)])).alias("block"))
+        cand = (blocks.select(F.col("id").alias("a"), "block")
+                .join(blocks.select(F.col("id").alias("b"), "block"), "block")
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b").distinct())
+        pairs = (cand
+                 .join(e.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+                 .join(e.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b"))
     else:
         a = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
         b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))

@@ -61,13 +61,27 @@ def test_embedding_near_dups_exact_and_lsh(spark):
         (4, [1.0, 0.0, 0.0, 0.0]),     # identical to 1
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    exact = embedding_near_dups(emb, threshold=0.95)
+    # n_planes=0 is the EXPLICIT exact-audit mode (full pairwise)
+    exact = embedding_near_dups(emb, threshold=0.95, n_planes=0)
     got = {(r["a"], r["b"]): r["cosine"] for r in exact.collect()}
     assert got[(1, 4)] == 1.0
     assert (1, 2) in got
     assert (1, 3) not in got
-    # LSH-bucketed variant never reports a pair the exact one wouldn't
-    lsh = embedding_near_dups(emb, threshold=0.95, n_planes=2)
+    # the DEFAULT is the banded-LSH scale path: never reports a pair the
+    # exact audit wouldn't, and identical vectors share every bucket
+    lsh = embedding_near_dups(emb, threshold=0.95)
     got_lsh = {(r["a"], r["b"]) for r in lsh.collect()}
     assert got_lsh <= set(got)
-    assert (1, 4) in got_lsh   # identical vectors share every bucket
+    assert (1, 4) in got_lsh
+
+
+def test_embedding_near_dups_default_plan_has_no_cartesian(spark):
+    """The shipped default must be the LSH-bucketed path: no cartesian /
+    nested-loop join anywhere in the physical plan (VERDICT r01 #1)."""
+    emb = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=int(i)) for i in range(4)]).alias("embedding"))
+    plan = embedding_near_dups(emb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
