@@ -353,6 +353,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .selectExpr("vec_id as qid", "embedding"))
         return cosine_topk(e, q, k=5)
 
+    def ann_ivf_topk(spark, sf):
+        # IVF scale path, oracle-checked: deterministic md5 centroids make
+        # the entire cell-assignment + probe plan SQL-reproducible
+        from ner_extractor_spark.operators.similarity import ivf_topk
+        e = _emb(spark, sf)
+        q = (e.filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+             .selectExpr("vec_id as qid", "embedding"))
+        return ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
+
+    def embed_homogeneity(spark, sf):
+        # A13 oracle-checked: homogeneity h = 1 - H(C|K)/H(C) over the
+        # contingency of deterministic IVF cells (md5 centroids — fully
+        # SQL-reproducible, unlike MLlib KMeans which stays rows-only as
+        # embed_kmeans) vs the embeddings table's labels.
+        from ner_extractor_spark.operators.similarity import (ivf_assign,
+                                                              ivf_centroids)
+        e = _emb(spark, sf)
+        assigned = ivf_assign(e, ivf_centroids(e, 16))
+        cont = (assigned.join(e.select("vec_id", "label"), "vec_id")
+                .groupBy("cell", "label").agg(F.count(F.lit(1)).alias("n")))
+        # H(C) = ln N - (Σ_c n_c ln n_c)/N ; H(C|K) = (Σ_k n_k ln n_k -
+        # Σ_{c,k} n ln n)/N — three tiny aggregates, no collect
+        s1 = cont.agg(F.sum("n").alias("n_total"),
+                      F.sum(F.col("n") * F.log("n")).alias("s1"))
+        s2 = (cont.groupBy("cell").agg(F.sum("n").alias("nk"))
+              .agg(F.sum(F.col("nk") * F.log("nk")).alias("s2")))
+        s3 = (cont.groupBy("label").agg(F.sum("n").alias("nl"))
+              .agg(F.sum(F.col("nl") * F.log("nl")).alias("s3")))
+        h_c = F.log("n_total") - F.col("s3") / F.col("n_total")
+        h_ck = (F.col("s2") - F.col("s1")) / F.col("n_total")
+        return (s1.crossJoin(s2).crossJoin(s3)
+                .select(F.col("n_total").cast("long").alias("n_total"),
+                        F.round(h_c, 6).alias("h_c"),
+                        F.round(h_ck, 6).alias("h_ck"),
+                        F.round(F.when(h_c > 0, F.lit(1.0) - h_ck / h_c)
+                                .otherwise(F.lit(1.0)), 6).alias("homogeneity")))
+
     def text_quality(spark, sf):
         d = _docs(spark, sf)
         toks = F.split(F.trim(F.col("text")), r"\s+")
@@ -540,6 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "embedding_near_dups": embedding_near_dups_q,
         "ann_topk": ann_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "embed_homogeneity": embed_homogeneity,
         "text_quality": text_quality,
         "text_fingerprint": text_fingerprint,
         "text_langid": text_langid,
@@ -657,6 +696,35 @@ ef AS (
 ),
 en AS (
   SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ef GROUP BY vec_id
+)"""
+
+
+def _ivf_assign_sql(n_cells: int = 16) -> str:
+    """Deterministic IVF coarse assignment (mirrors operators/similarity
+    ivf_centroids + ivf_assign): centroids = the n_cells vectors with
+    smallest md5(vec_id); every vector goes to its max-cosine cell (ties
+    to the smallest cell id).  Requires EMB_FLAT_SQL's ef/en CTEs."""
+    return f"""
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INT) AS cell,
+         vec_id AS cvid
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cells}
+),
+ccos AS (
+  SELECT f.vec_id, c.cell, sum(f.v * g.v) / (nf.nrm * ng.nrm) AS cos
+  FROM ef f
+  CROSS JOIN cents c
+  JOIN ef g ON g.vec_id = c.cvid AND g.i = f.i
+  JOIN en nf ON nf.vec_id = f.vec_id
+  JOIN en ng ON ng.vec_id = c.cvid
+  GROUP BY f.vec_id, c.cell, nf.nrm, ng.nrm
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+    FROM ccos) t WHERE r = 1
 )"""
 
 
@@ -989,6 +1057,53 @@ ranked AS (
   FROM scored
 )
 SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 5""",
+
+        "ann_ivf_topk": f"""
+WITH {EMB_FLAT_SQL},{_ivf_assign_sql(16)},
+probes AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+    FROM ccos WHERE vec_id IN ({ann_ids})) t WHERE r <= 4
+),
+dots AS (
+  SELECT p.qid, a.vec_id, sum(qf.v * cf.v) AS d
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN ef qf ON qf.vec_id = p.qid
+  JOIN ef cf ON cf.vec_id = a.vec_id AND cf.i = qf.i
+  GROUP BY p.qid, a.vec_id
+),
+scored AS (
+  SELECT dots.qid, dots.vec_id, round(dots.d / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM dots JOIN en nq ON nq.vec_id = dots.qid
+            JOIN en nc ON nc.vec_id = dots.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM scored)
+SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 5""",
+
+        "embed_homogeneity": f"""
+WITH {EMB_FLAT_SQL},{_ivf_assign_sql(16)},
+cont AS (
+  SELECT a.cell, e.label, count(*) AS n
+  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY a.cell, e.label
+),
+s1 AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total, sum(n * ln(n)) AS s1 FROM cont),
+s2 AS (SELECT sum(nk * ln(nk)) AS s2
+       FROM (SELECT sum(n) AS nk FROM cont GROUP BY cell) t),
+s3 AS (SELECT sum(nl * ln(nl)) AS s3
+       FROM (SELECT sum(n) AS nl FROM cont GROUP BY label) t)
+SELECT CAST(n_total AS BIGINT) AS n_total,
+       round(ln(n_total) - s3 / n_total, 6) AS h_c,
+       round((s2 - s1) / n_total, 6) AS h_ck,
+       round(CASE WHEN ln(n_total) - s3 / n_total > 0
+                  THEN 1 - ((s2 - s1) / n_total) / (ln(n_total) - s3 / n_total)
+                  ELSE 1.0 END, 6) AS homogeneity
+FROM s1, s2, s3""",
 
         "text_quality": """
 WITH t AS (

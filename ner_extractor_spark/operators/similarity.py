@@ -45,31 +45,54 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse centroids: the n_cells corpus vectors with
+    smallest md5(id) — seedless, cluster-size independent, and exactly
+    reproducible in ANSI SQL (the oracle recomputes them).
+    Returns (cell, centroid) with cell = 1..n_cells."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    return (c.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("_h").limit(n_cells)
+            .select(F.row_number().over(Window.orderBy("_h")).alias("cell"),
+                    F.col("cv").alias("centroid")))
+
+
+def ivf_assign(corpus: DataFrame, cents: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (cosine; ties
+    break to the smallest cell id).  Broadcast centroid join + max_by
+    aggregation — no sort-window over corpus×n_cells rows (that shape
+    sorts the whole expanded corpus at scale; max_by is a partial-agg-
+    friendly single pass).  Returns (vec_id, cv, cell)."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    ca = c.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cv", "cell",
+        (_dot(F.col("cv"), F.col("centroid")) /
+         (_norm(F.col("cv")) * _norm(F.col("centroid")))).alias("cos"))
+    return (ca.groupBy("vec_id")
+            .agg(F.max_by(F.struct("cell", "cv"),
+                          F.struct(F.col("cos"), -F.col("cell"))).alias("best"))
+            .select("vec_id", F.col("best.cv").alias("cv"),
+                    F.col("best.cell").alias("cell")))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "qid") -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Centroids = the n_cells corpus vectors with smallest md5(id) —
-    deterministic, seedless, cluster-size independent.  Corpus vectors
-    are assigned to their nearest centroid once (broadcast centroid
-    join); each query probes its n_probe nearest cells only.
+    Centroids = deterministic md5 picks (``ivf_centroids``); corpus
+    vectors are assigned to their nearest centroid once (broadcast
+    centroid join + max_by — see ``ivf_assign``); each query probes its
+    n_probe nearest cells only.  The probe ranking keeps its window: the
+    query side is small by contract, the corpus side never sees a window.
     """
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
-    cents = (c.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
-             .orderBy("_h").limit(n_cells)
-             .select(F.row_number().over(Window.orderBy("_h")).alias("cell"),
-                     F.col("cv").alias("centroid")))
-
-    # corpus assignment: cross with broadcast centroids, keep best cell
-    ca = c.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cv", "cell",
-        (_dot(F.col("cv"), F.col("centroid")) /
-         (_norm(F.col("cv")) * _norm(F.col("centroid")))).alias("cos"))
-    wbest = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
-    assigned = (ca.withColumn("r", F.row_number().over(wbest))
-                .filter(F.col("r") == 1).select("vec_id", "cv", "cell"))
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qv"))
     qa = q.crossJoin(F.broadcast(cents)).select(
