@@ -18,15 +18,17 @@ Stages:
      small side ×K, so one hot key fans out over K reducers.  For the
      broadcast alias join no shuffle happens at all, so salting only
      matters when the dictionary outgrows the broadcast threshold and the
-     join becomes shuffle-hash — the helper is used by the kg_pipeline in
-     that configuration and is AQE-skew-join backstopped either way.
+     join becomes shuffle-hash — ``salt_explode`` is the documented recipe
+     for that configuration (exercised by tests/test_skew_bucketing.py);
+     AQE skew-join is the backstop either way.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-N_HASHES = 8  # minhash signature length (bands of 1 row -> recall-biased)
+N_HASHES = 12   # minhash signature length
+BAND_SIZE = 2   # 6 bands of 2 — same OR-construction as operators/dedup
 SHINGLE = 3
 
 
@@ -84,24 +86,29 @@ def minhash_signature_from(sh_col, n_hashes: int = N_HASHES):
 
 def lsh_candidates(left: DataFrame, left_key: str,
                    right: DataFrame, right_key: str,
-                   n_hashes: int = N_HASHES) -> DataFrame:
-    """Band-bucket join: pairs sharing any minhash band (band size 1).
+                   n_hashes: int = N_HASHES,
+                   band_size: int = BAND_SIZE) -> DataFrame:
+    """Band-bucket join: pairs sharing any minhash band (bands of
+    ``band_size`` ≥ 2 minhashes, same construction as operators/dedup).
 
-    Returns distinct (left_key, right_key) candidate pairs.  Each side is
-    exploded ×n_hashes on (band_index, band_hash) — the classic LSH
-    bucket join; the bucket key is high-cardinality so the shuffle is
-    well spread, and AQE splits residual hot buckets.
+    Returns distinct (left_key, right_key) candidate pairs.  A band key
+    concatenates ``band_size`` minhashes, so one popular shingle (the
+    ``^th`` 3-gram family on web surfaces) cannot put a large fraction of
+    all surfaces into one bucket — ALL hashes of the band must agree, not
+    one.  Bucket-share bound pinned by tests/test_skew_bucketing.py; AQE
+    splits any residual hot bucket.
     """
     def bands(df, key):
-        return (
-            df.select(F.col(key),
-                      _shingles(norm_surface(F.col(key))).alias("_sh"))
-            .select(
-                F.col(key),
-                F.posexplode(minhash_signature_from(F.col("_sh"), n_hashes))
-                .alias("band", "h"),
-            )
-        )
+        base = df.select(F.col(key),
+                         _shingles(norm_surface(F.col(key))).alias("_sh"))
+        sig = base.select(
+            F.col(key),
+            F.posexplode(minhash_signature_from(F.col("_sh"), n_hashes))
+            .alias("k", "h"),
+        ).withColumn("band", (F.col("k") / band_size).cast("int"))
+        return sig.groupBy(key, "band").agg(
+            F.concat_ws("", F.array_sort(
+                F.collect_list(F.struct("k", "h")).getField("h"))).alias("bh"))
 
     lb = bands(left.select(left_key).distinct(), left_key)
     rb = bands(right.select(right_key).distinct(), right_key)
@@ -109,7 +116,7 @@ def lsh_candidates(left: DataFrame, left_key: str,
         rb = rb.withColumnRenamed(right_key, right_key + "_r")
         right_key = right_key + "_r"
     return (
-        lb.join(rb, on=["band", "h"])
+        lb.join(rb, on=["band", "bh"])
         .select(left_key, right_key)
         .distinct()
     )
@@ -118,9 +125,18 @@ def lsh_candidates(left: DataFrame, left_key: str,
 def salt_explode(big: DataFrame, small: DataFrame, key: str, k: int = 16,
                  salt_src: str | None = None):
     """Generic skew-salting pattern (SURVEY §4.3.1): append
-    salt = pmod(xxhash64(salt_src), k) on the big side, explode the small
-    side ×k, join on (key, salt).  Returns (big', small', join_keys)."""
-    salt_col = F.pmod(F.xxhash64(F.col(salt_src or key)), F.lit(k)).cast("int")
+    salt = pmod(xxhash64(...), k) on the big side, explode the small
+    side ×k, join on (key, salt).  Returns (big', small', join_keys).
+
+    The salt MUST come from something row-unique, never the join key
+    itself (a key-derived salt is constant for all rows of a hot key —
+    zero spreading).  ``salt_src=None`` salts from
+    ``monotonically_increasing_id()`` (row-unique by construction); pass
+    a column name (e.g. a stable row id like ``url``) when the salt must
+    be deterministic across task retries."""
+    src = (F.monotonically_increasing_id() if salt_src is None
+           else F.col(salt_src))
+    salt_col = F.pmod(F.xxhash64(src), F.lit(k)).cast("int")
     big_s = big.withColumn("_salt", salt_col)
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))

@@ -30,6 +30,51 @@ def test_salted_join_equals_plain(spark):
     assert spread == 8
 
 
+def test_salt_default_spreads_hot_key(spark):
+    """salt_src=None must still spread a hot key (ADVICE r01: a salt
+    derived from the join key is constant per key — zero spreading)."""
+    big = spark.createDataFrame([(i, "reuters") for i in range(512)],
+                                "id long, key string")
+    small = spark.createDataFrame([("reuters", "Q-1")],
+                                  "key string, entity string")
+    big_s, small_s, keys = salt_explode(big, small, key="key", k=8)
+    assert big_s.select("_salt").distinct().count() >= 6
+    assert big_s.join(small_s, on=keys).count() == 512
+
+
+def test_lsh_hot_shingle_bucket_share_bounded(spark):
+    """Pathological alias set: 300 unrelated surfaces that all share the
+    '^th' shingle family.  With bands of ≥2 minhashes EVERY hash of a
+    band must agree, so the hot shingle cannot put a large fraction of
+    surfaces into one bucket (VERDICT r01 #6)."""
+    import hashlib
+
+    from ner_extractor_spark.operators.link import (BAND_SIZE, _shingles,
+                                                    lsh_candidates,
+                                                    minhash_signature_from,
+                                                    norm_surface)
+    n = 300
+    df = spark.createDataFrame(
+        [("th" + hashlib.md5(str(i).encode()).hexdigest()[:10],)
+         for i in range(n)], "alias_norm string")
+    base = df.select("alias_norm",
+                     _shingles(norm_surface(F.col("alias_norm"))).alias("sh"))
+    sig = (base.select("alias_norm",
+                       F.posexplode(minhash_signature_from(F.col("sh")))
+                       .alias("k", "h"))
+           .withColumn("band", (F.col("k") / BAND_SIZE).cast("int")))
+    bands = sig.groupBy("alias_norm", "band").agg(
+        F.concat_ws("", F.array_sort(
+            F.collect_list(F.struct("k", "h")).getField("h"))).alias("bh"))
+    max_bucket = (bands.groupBy("band", "bh").count()
+                  .agg(F.max("count")).first()[0])
+    assert max_bucket / n <= 0.05, max_bucket
+    # and the induced candidate set is a tiny fraction of all-pairs
+    cand = lsh_candidates(df, "alias_norm", df, "alias_norm")
+    n_pairs = cand.filter("alias_norm != alias_norm_r").count()
+    assert n_pairs < 0.01 * n * (n - 1), n_pairs
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
