@@ -20,12 +20,15 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     kg = sub.add_parser("kg", help="run the KG construction pipeline")
+    kg.add_argument("--config",
+                    help="YAML config (S6): paths.pages / paths.workdir "
+                         "plus lang / run_id / synth; flags override")
     kg.add_argument("--pages", help="pages table (parquet path or catalog id)")
-    kg.add_argument("--synth", type=int, default=0,
+    kg.add_argument("--synth", type=int, default=None,
                     help="synthesize N fixture pages instead of --pages")
-    kg.add_argument("--workdir", required=True)
-    kg.add_argument("--lang", default="en")
-    kg.add_argument("--run-id", default="run0")
+    kg.add_argument("--workdir")
+    kg.add_argument("--lang", default=None)
+    kg.add_argument("--run-id", default=None)
     args = p.parse_args(argv)
 
     # absolute imports so this file also works as a spark-submit primary
@@ -35,24 +38,51 @@ def main(argv=None):
     from ner_extractor_spark.schemas import ALIASES, PAGES
     from ner_extractor_spark.session import get_spark
 
+    # S6: config supplies defaults, CLI flags win
+    cfg: dict = {}
+    if args.config:
+        from ner_extractor_spark.config import load_config
+        cfg = load_config(args.config)
+    cfg_paths = cfg.get("paths") or {}
+    pages_path = args.pages or (
+        str(cfg_paths["pages"]) if cfg_paths.get("pages") else None)
+    workdir = args.workdir or (
+        str(cfg_paths["workdir"]) if cfg_paths.get("workdir") else None)
+    if not workdir:
+        p.error("--workdir (or config paths.workdir) is required")
+    synth_n = args.synth if args.synth is not None else int(cfg.get("synth", 0))
+    lang_arg = args.lang if args.lang is not None else cfg.get("lang", "en")
+    run_id = args.run_id if args.run_id is not None else cfg.get("run_id", "run0")
+
     spark = get_spark(app_name="kg-pipeline")
 
-    if args.synth:
+    if synth_n:
         pages = spark.createDataFrame(
-            synth.pages_rows(synth.gold_corpus(args.synth)), schema=PAGES)
+            synth.pages_rows(synth.gold_corpus(synth_n)), schema=PAGES)
     else:
         from ner_extractor_spark.sources.pages import read_pages
-        pages = read_pages(spark, args.pages)
+        pages = read_pages(spark, pages_path)
     aliases = spark.createDataFrame(synth.alias_rows(), schema=ALIASES)
 
-    lang = None if args.lang in ("", "all") else args.lang
+    # S7: persist the resolved run config next to the outputs (paths
+    # relativized against the workdir where possible)
+    from pathlib import Path as _Path
+
+    from ner_extractor_spark.config import save_config
+    save_config({
+        "paths": {"pages": _Path(pages_path).resolve() if pages_path else None,
+                  "workdir": _Path(workdir).resolve()},
+        "lang": lang_arg, "run_id": run_id, "synth": synth_n,
+    }, _Path(workdir) / "config.yaml")
+
+    lang = None if lang_arg in ("", "all") else lang_arg
     res = run_kg_pipeline(spark, pages, aliases, synth.tagger_dictionary(),
-                          args.workdir, lang=lang, run_id=args.run_id)
+                          workdir, lang=lang, run_id=run_id)
     print(json.dumps({
         "sentences": res.sentences.count(),
         "mentions": res.mentions.count(),
         "triples": res.triples.count(),
-        "workdir": args.workdir,
+        "workdir": workdir,
     }))
     spark.stop()
 
