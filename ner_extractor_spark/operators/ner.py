@@ -89,9 +89,21 @@ class TransformerTagger:
     """Real DistilBERT-CRF-style inference path (reference
     ``src/modeling.py:91-132``): tokenize with word alignment, batched
     forward, CRF Viterbi (or greedy argmax) decode, first-subword
-    realignment.  Requires torch + transformers, which this container
-    does not ship — the constructor documents the exact production
-    lifecycle and fails loudly otherwise.
+    realignment.
+
+    The whole alignment algebra (F10 first-subword mapping + inverse,
+    F11 RoBERTa continuation rule, F12 truncation semantics, F13 Ġ
+    cleanup) is IMPLEMENTED and property-tested in
+    ``functions/align.py`` — only the forward pass itself needs torch +
+    transformers, which this container does not ship; the constructor
+    documents the production lifecycle and fails loudly otherwise.
+    Per sentence inside ``tag_batch``:
+
+        enc    = tokenizer(words, is_split_into_words=True,
+                           truncation=True, max_length=self.max_length)
+        logits = model(**enc)                       # batched forward
+        sub    = viterbi(logits) or logits.argmax(-1)
+        tags   = first_subword_inverse(enc.word_ids(), sub)   # F10
     """
 
     def __init__(self, model_dir: str, decode: str = "viterbi",
@@ -104,7 +116,8 @@ class TransformerTagger:
                 "TransformerTagger needs torch+transformers. Production "
                 "lifecycle: load model once per Python worker (module "
                 "singleton), torch.set_num_threads(1), forward in Arrow-"
-                "batch-sized minibatches, first-subword label alignment."
+                "batch-sized minibatches, then functions/align."
+                "first_subword_inverse for word-level tags."
             ) from e
         self.model_dir = model_dir
         self.decode = decode
