@@ -320,7 +320,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.lag("doc_id").over(w).alias("prev"))
                  .filter(F.col("prev").isNotNull())
                  .select(F.col("prev").alias("src"), F.col("doc_id").alias("dst")))
-        return connected_components(edges)
+        # self-loops keep every document in the output even when its
+        # source has a single doc (no lag edge) — matches the oracle's
+        # every-document contract on any data shape (ADVICE r01)
+        self_loops = d.select(F.col("doc_id").alias("src"),
+                              F.col("doc_id").alias("dst"))
+        return connected_components(edges.unionByName(self_loops))
 
     def dedup_exact_q(spark, sf):
         return exact_dedup(_docs(spark, sf))

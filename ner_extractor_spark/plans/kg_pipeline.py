@@ -149,7 +149,14 @@ def run_kg_pipeline(
               on=["url", "sent_id", "obj_start"])
         .select("subj", "pred", "obj", "url", "sent_id")
     )
-    triples = write_stage(man, "triples", triples, run_id=run_id)
+    # partitioned materialization: a 16-way subject hash bucket keys the
+    # final table so per-entity reads prune partitions (pruning pinned by
+    # tests/test_plans.py::test_triples_stage_partition_pruning); at
+    # production scale this is the Iceberg partition spec.
+    triples = triples.withColumn(
+        "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(16)).cast("int"))
+    triples = write_stage(man, "triples", triples,
+                          partition_by=["subj_bucket"], run_id=run_id)
 
     return KGResult(sentences, mentions, triples_raw, linked_total,
                     components, triples)

@@ -73,10 +73,12 @@ def domain_mention_stats(sentences: DataFrame, dictionary: dict,
             "batch_rows": batch_rows,
         }])
 
+    # regexp_extract returns '' (never null) on no match — map the empty
+    # string, not null, to the 'unknown' domain bucket
+    extracted = F.regexp_extract("url", r"^[a-z]+://([^/#]+)", 1)
     with_domain = sentences.withColumn(
         "domain",
-        F.coalesce(F.regexp_extract("url", r"^[a-z]+://([^/#]+)", 1),
-                   F.lit("unknown")))
+        F.when(extracted == "", F.lit("unknown")).otherwise(extracted))
     return (
         with_domain.groupBy("domain")
         .applyInPandasWithState(

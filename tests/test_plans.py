@@ -49,6 +49,25 @@ def test_pages_to_triples_is_exchange_free(spark, tmp_path):
     assert "Exchange" not in plan2, plan2
 
 
+def test_triples_stage_partition_pruning(spark, tmp_path):
+    """The triples stage is written partitioned by subj_bucket; a
+    bucket-keyed read must prune partitions at the scan (VERDICT r01 #10)."""
+    from ner_extractor_spark.plans.checkpoints import (StageManifest,
+                                                       write_stage)
+    man = StageManifest(str(tmp_path / "stages"))
+    df = spark.range(200).select(
+        F.concat(F.lit("Q-"), F.col("id")).alias("subj"),
+        F.lit("p").alias("pred"),
+        F.pmod(F.xxhash64(F.concat(F.lit("Q-"), F.col("id"))), F.lit(16))
+        .cast("int").alias("subj_bucket"))
+    write_stage(man, "triples", df, partition_by=["subj_bucket"])
+    re_read = spark.read.parquet(man.path("triples"))
+    plan = re_read.filter(F.col("subj_bucket") == 3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "subj_bucket" in pf, plan
+
+
 def test_alias_join_is_broadcast(spark, tmp_path):
     pages = _pages_on_disk(spark, tmp_path)
     tagged = tag_sentences(extract_sentences(pages, lang=None),
