@@ -59,18 +59,26 @@ ANN_QUERY_IDS = [1, 5, 9]
 
 
 def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
-    """Hash-repartition a tiny single-file input across the cluster.
+    """Hash-repartition a tiny single-file input across the cluster —
+    and a literal PASSTHROUGH when the scan already has enough input
+    files to feed every core (the production shape), so no shuffle is
+    ever injected at real scale.
 
     The sandbox sf tables are one parquet file = one input split; without
-    this every map-heavy stage runs on a single task no matter how many
-    cores exist.  At real scale the input arrives in thousands of files
-    and this is a no-op decision (keyed repartition = deterministic).
+    the repartition every map-heavy stage runs on a single task no matter
+    how many cores exist.
 
     Also ships the package to executors: the caller's SparkSession may
     not have been built by ner_extractor_spark.session.get_spark, and
     Python workers don't inherit the driver's sys.path."""
     from ner_extractor_spark.session import _ship_package
     _ship_package(spark)
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= spark.sparkContext.defaultParallelism:
+        return df
     return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
 
 

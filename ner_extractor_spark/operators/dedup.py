@@ -94,14 +94,25 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
     """Exact Jaccard similarity for candidate pairs (verification phase).
     jaccard = |A ∩ B| / |A ∪ B| over word shingles.
 
-    Shuffle shape: shingles are EXPLODED once, so the joins shuffle
-    (pair, shingle) rows — never whole documents' shingle arrays.  The
-    intersection count is a groupBy over candidate pairs only; pair
-    cardinality is bounded by the LSH candidate set, so the wide state
-    stays tiny even when documents are megabytes."""
-    sh = docs.select(F.col(id_col).alias("id"),
-                     F.explode(word_shingles(F.col(text_col), shingle_n))
-                     .alias("shingle"))
+    Shuffle shape: shingles are computed ONLY for documents that appear
+    in a candidate pair (semi-join first — the corpus never re-shingles
+    for verification) and EXPLODED, so the joins shuffle (pair, shingle)
+    rows — never whole documents' shingle arrays.  The intersection
+    count is a groupBy over candidate pairs only.
+
+    The candidate set is materialized once (localCheckpoint): the
+    two-phase dedup contract reads candidates from a table in
+    production, and without the barrier Catalyst re-evaluates the whole
+    candidate-generation DAG for each of its four uses here (measured
+    ~3x the query time at sf0.1)."""
+    pairs = pairs.localCheckpoint()
+    ids = (pairs.select(F.col("a").alias("id"))
+           .unionByName(pairs.select(F.col("b").alias("id")))
+           .distinct())
+    sh = (docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+          .join(ids, on="id", how="leftsemi")
+          .select("id", F.explode(word_shingles(F.col("t"), shingle_n))
+                  .alias("shingle")))
     # word_shingles is array_distinct, so count(*) == set size
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
     inter = (

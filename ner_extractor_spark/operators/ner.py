@@ -43,28 +43,50 @@ class DictionaryTagger:
     def __init__(self, dictionary: Dict[Tuple[str, ...], str]):
         self.dictionary = dict(dictionary)
         self.max_len = max((len(k) for k in self.dictionary), default=1)
+        # first-token index: the overwhelmingly common case (token opens
+        # no entry) costs ONE str dict probe — no tuple allocation, no
+        # per-width loop.  Candidates sorted longest-first preserve the
+        # longest-match-wins semantics exactly.
+        index: Dict[str, list] = {}
+        for key, label in self.dictionary.items():
+            index.setdefault(key[0], []).append(
+                (len(key), key, "B-" + label, "I-" + label))
+        for cands in index.values():
+            cands.sort(key=lambda c: -c[0])
+        self._index = index
 
     def tag(self, tokens: List[str]) -> List[str]:
         lowered = [t.lower() for t in tokens]
         n = len(tokens)
         tags = ["O"] * n
+        index = self._index
         i = 0
         while i < n:
-            matched = 0
-            for width in range(min(self.max_len, n - i), 0, -1):
-                label = self.dictionary.get(tuple(lowered[i:i + width]))
-                if label is not None:
-                    tags[i] = f"B-{label}"
-                    for j in range(i + 1, i + width):
-                        tags[j] = f"I-{label}"
-                    matched = width
-                    break
-            i += matched or 1
+            step = 1
+            cands = index.get(lowered[i])
+            if cands is not None:
+                for width, key, btag, itag in cands:
+                    if width <= n - i and tuple(lowered[i:i + width]) == key:
+                        tags[i] = btag
+                        for j in range(i + 1, i + width):
+                            tags[j] = itag
+                        step = width
+                        break
+            i += step
         return tags
 
 
 def tag_sentences(sentences: DataFrame, dictionary: Dict[Tuple[str, ...], str]) -> DataFrame:
-    """sentences -> + pred_tags, via one Arrow-batched mapInPandas stage.
+    """sentences -> + pred_tags, via one Arrow-batched ``mapInArrow``
+    stage.
+
+    mapInArrow (not mapInPandas) because a tagger only READS the tokens:
+    url / sent_id / tokens pass through as the original Arrow buffers
+    (zero copy, no pandas object boxing on the way out) and only the new
+    pred_tags column is built Python-side.  The pandas path converted
+    every column arrow->pandas->arrow per batch — pure overhead for a
+    passthrough.  (The real-transformer path keeps the same shape: the
+    forward pass consumes token lists, everything else rides through.)
 
     The dictionary rides the closure (Spark broadcasts task binaries);
     for a dictionary beyond ~10s of MB use ``sc.broadcast`` explicitly.
@@ -72,16 +94,22 @@ def tag_sentences(sentences: DataFrame, dictionary: Dict[Tuple[str, ...], str]) 
     # plain dict in the closure; reconstructed once per worker
     items = list(dictionary.items())
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches):
+        import pyarrow as pa
         model = DictionaryTagger(dict(items))  # once per worker/stage
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["pred_tags"] = [model.tag(list(t)) for t in pdf["tokens"]]
-            yield pdf
+        tag = model.tag
+        tag_type = pa.list_(pa.string())
+        for batch in batches:
+            toks_col = batch.column(2)
+            tags = pa.array([tag(t) for t in toks_col.to_pylist()],
+                            type=tag_type)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), toks_col, tags],
+                names=["url", "sent_id", "tokens", "pred_tags"])
 
     # input pruned to exactly what inference needs (Arrow width matters:
     # sent_text duplicates tokens byte-for-byte)
-    return sentences.select("url", "sent_id", "tokens").mapInPandas(
+    return sentences.select("url", "sent_id", "tokens").mapInArrow(
         fn, schema=TAGGED)
 
 
