@@ -375,6 +375,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .selectExpr("vec_id as qid", "embedding"))
         return ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
 
+    def embed_kmeans_det(spark, sf):
+        # M9 oracle-checked: deterministic Lloyd's (md5-picked init, 3
+        # fixed rounds, centroids rounded per round — the trajectory is
+        # engine-portable, unlike MLlib KMeans which stays rows-only)
+        from ner_extractor_spark.operators.embed_viz import \
+            kmeans_deterministic
+        assigned, cents = kmeans_deterministic(_emb(spark, sf), k=8, n_iter=3)
+        norm = F.round(F.sqrt(F.aggregate(
+            F.transform("cv", lambda x: x * x),
+            F.lit(0.0), lambda a, x: a + x)), 6)
+        counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        return counts.join(cents.select("cell", norm.alias("c_norm")), "cell")
+
     def embed_homogeneity(spark, sf):
         # A13 oracle-checked: homogeneity h = 1 - H(C|K)/H(C) over the
         # contingency of deterministic IVF cells (md5 centroids — fully
@@ -592,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embed_homogeneity": embed_homogeneity,
+        "embed_kmeans_det": embed_kmeans_det,
         "text_quality": text_quality,
         "text_fingerprint": text_fingerprint,
         "text_langid": text_langid,
@@ -739,6 +753,42 @@ assigned AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
     FROM ccos) t WHERE r = 1
 )"""
+
+
+def _kmeans_det_sql(k: int = 8, n_iter: int = 3) -> str:
+    """Unrolled deterministic Lloyd's (mirrors
+    operators/embed_viz.kmeans_deterministic): md5-picked init, fixed
+    rounds, centroid coords rounded per round.  Requires EMB_FLAT_SQL."""
+    parts = [f"""
+kcents AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INT) AS cell,
+         vec_id AS cvid
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
+),
+c0 AS (
+  SELECT c.cell, g.i - 1 AS dim, round(g.v, 6) AS m
+  FROM kcents c JOIN ef g ON g.vec_id = c.cvid
+)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+d{t} AS (
+  SELECT f.vec_id, c.cell, sum((f.v - c.m) * (f.v - c.m)) AS d
+  FROM ef f JOIN c{t - 1} c ON c.dim = f.i - 1
+  GROUP BY f.vec_id, c.cell
+),
+a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
+    FROM d{t}) q WHERE r = 1
+),
+c{t} AS (
+  SELECT a.cell, f.i - 1 AS dim, round(avg(f.v), 6) AS m
+  FROM a{t} a JOIN ef f ON f.vec_id = a.vec_id
+  GROUP BY a.cell, f.i - 1
+)""")
+    return "".join(parts)
 
 
 def _hyperplane_bands_sql(n_planes: int = 16, band_size: int = 4) -> str:
@@ -1117,6 +1167,14 @@ SELECT CAST(n_total AS BIGINT) AS n_total,
                   THEN 1 - ((s2 - s1) / n_total) / (ln(n_total) - s3 / n_total)
                   ELSE 1.0 END, 6) AS homogeneity
 FROM s1, s2, s3""",
+
+        "embed_kmeans_det": f"""
+WITH {EMB_FLAT_SQL},{_kmeans_det_sql(8, 3)}
+SELECT a.cell, CAST(count(*) AS BIGINT) AS n, cn.c_norm
+FROM a3 a JOIN (
+  SELECT cell, round(sqrt(sum(m * m)), 6) AS c_norm FROM c3 GROUP BY cell
+) cn ON cn.cell = a.cell
+GROUP BY a.cell, cn.c_norm""",
 
         "text_quality": """
 WITH t AS (

@@ -124,7 +124,10 @@ def main():
     sf = float(m.group(1)) if m else -1.0
 
     if "--scaling" in sys.argv:
-        print(json.dumps(scaling_run(cpus, sf_dir)))
+        replicate = 96
+        if "--replicate" in sys.argv:
+            replicate = int(sys.argv[sys.argv.index("--replicate") + 1])
+        print(json.dumps(scaling_run(cpus, sf_dir, replicate=replicate)))
         return
 
     import __spark_entry__ as E

@@ -48,6 +48,60 @@ def kmeans_clusters(emb: DataFrame, k: int, vec_col: str = "embedding",
     return model.transform(df).drop("_features")
 
 
+def kmeans_deterministic(emb: DataFrame, k: int = 8, n_iter: int = 3,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         round_to: int = 6):
+    """M9, engine-portable variant: Lloyd's algorithm with md5-picked
+    initial centroids (``similarity.ivf_centroids``) and a FIXED
+    iteration count; centroid coordinates are rounded to ``round_to``
+    decimals after every mean update, so the whole trajectory is
+    bit-reproducible in ANSI SQL (the DuckDB oracle recomputes it —
+    unlike MLlib KMeans, whose numerics are engine-internal).
+
+    Squared-Euclidean assignment, ties to the smallest cell id; clusters
+    that lose all points vanish (deterministically, in both engines).
+    Assignment is a broadcast-centroid join + ``max_by`` aggregation
+    (never a corpus-wide window); mean updates go through posexplode ->
+    per-(cell,dim) avg -> array rebuild, so no step depends on a static
+    dimension count.
+
+    Returns (assigned, cents): (vec_id, cell, v) and the final
+    (cell, cv) centroid table.
+    """
+    from .similarity import ivf_centroids
+
+    c = emb.select(F.col(id_col).alias("vec_id"),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("v"))
+    cents = (ivf_centroids(emb, k, id_col, vec_col)
+             .select("cell",
+                     F.transform("centroid",
+                                 lambda x: F.round(x.cast("double"), round_to))
+                     .alias("cv")))
+    assigned = None
+    for _ in range(n_iter):
+        dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        assigned = (c.crossJoin(F.broadcast(cents))
+                    .select("vec_id", "v", "cell", dist.alias("d"))
+                    .groupBy("vec_id")
+                    .agg(F.max_by(F.struct("cell", "v"),
+                                  F.struct(-F.col("d"), -F.col("cell")))
+                         .alias("best"))
+                    .select("vec_id", F.col("best.cell").alias("cell"),
+                            F.col("best.v").alias("v")))
+        cents = (assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+                 .groupBy("cell", "dim")
+                 .agg(F.round(F.avg("val"), round_to).alias("m"))
+                 .groupBy("cell")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                     lambda s: s.getField("m")).alias("cv")))
+    return assigned, cents
+
+
 def homogeneity(clustered: DataFrame, label_col: str = "label",
                 cluster_col: str = "cluster") -> float:
     """A13: homogeneity score h = 1 - H(C|K)/H(C) from the contingency
