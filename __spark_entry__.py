@@ -432,6 +432,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _docs(spark, sf).select(
             "doc_id", fingerprint(F.col("text")).alias("fp"))
 
+    def text_token_stats(spark, sf):
+        # build brief token counting: whitespace + BPE-ish regex pieces,
+        # plus the stopword-hit ratio used by the quality filter
+        from ner_extractor_spark.functions.text import (bpe_ish_token_count,
+                                                        stopword_ratio)
+        return _docs(spark, sf).select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_ws_tokens"),
+            bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+            F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio_en"),
+        )
+
     def text_langid(spark, sf):
         return _docs(spark, sf).select(
             "doc_id", lang_id(F.col("text")).alias("detected"))
@@ -607,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_homogeneity": embed_homogeneity,
         "embed_kmeans_det": embed_kmeans_det,
         "text_quality": text_quality,
+        "text_token_stats": text_token_stats,
         "text_fingerprint": text_fingerprint,
         "text_langid": text_langid,
         "text_lang_confusion": text_lang_confusion,
@@ -819,6 +832,9 @@ epairs AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from ner_extractor_spark.functions.text import BPE_ISH_PATTERN, STOPWORDS
+    _BPE = BPE_ISH_PATTERN
+    _SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     pred_list = ", ".join(f"'{p}'" for p in PREDICATES)
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
 
@@ -1167,6 +1183,20 @@ SELECT CAST(n_total AS BIGINT) AS n_total,
                   THEN 1 - ((s2 - s1) / n_total) / (ln(n_total) - s3 / n_total)
                   ELSE 1.0 END, 6) AS homogeneity
 FROM s1, s2, s3""",
+
+        "text_token_stats": r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS tl,
+         string_split_regex(trim(lower(text)), '\s+') AS tll
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(tl) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '""" + _BPE + r"""')) AS n_bpe_tokens,
+       round(CAST(len(list_filter(tll, x -> x IN (""" + _SW_EN + r""")))
+             AS DOUBLE) / len(tll), 6) AS stop_ratio_en
+FROM t""",
 
         "embed_kmeans_det": f"""
 WITH {EMB_FLAT_SQL},{_kmeans_det_sql(8, 3)}

@@ -28,12 +28,18 @@ def token_count(col) -> Column:
         F.size(tokens(col)))
 
 
+# GPT-2-flavoured piece pattern: letter runs, single digits, single
+# punctuation marks.  Deliberately lookaround-free so the same pattern
+# runs identically under Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(col) -> Column:
-    """Sub-word-ish token proxy: count word-boundary pieces produced by a
-    BPE-like regex split (letters / digits / other runs)."""
-    return F.size(F.filter(
-        F.split(col, r"(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\s+|(?=[^\w\s])"),
-        lambda t: F.length(t) > 0))
+    """Sub-word-ish token-count proxy (build brief: 'whitespace + a
+    BPE-ish regex'): number of BPE_ISH_PATTERN matches — letter runs
+    stay whole, digits count one piece each (the GPT-2 digit rule),
+    punctuation one piece per mark."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
 def stopword_ratio(col, lang: str = "en") -> Column:
