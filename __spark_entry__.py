@@ -388,6 +388,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
         return counts.join(cents.select("cell", norm.alias("c_norm")), "cell")
 
+    def embed_pca_det(spark, sf):
+        # M7 oracle-checked: power-iteration PCA with per-step rounding
+        # (engine-portable trajectory; MLlib PCA stays the rows-only twin)
+        from ner_extractor_spark.operators.embed_viz import pca_deterministic
+        return pca_deterministic(_emb(spark, sf), n_components=2, n_iter=8)
+
     def embed_homogeneity(spark, sf):
         # A13 oracle-checked: homogeneity h = 1 - H(C|K)/H(C) over the
         # contingency of deterministic IVF cells (md5 centroids — fully
@@ -618,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "embed_homogeneity": embed_homogeneity,
         "embed_kmeans_det": embed_kmeans_det,
+        "embed_pca_det": embed_pca_det,
         "text_quality": text_quality,
         "text_token_stats": text_token_stats,
         "text_fingerprint": text_fingerprint,
@@ -768,35 +775,91 @@ assigned AS (
 )"""
 
 
+def _pca_det_sql(n_components: int = 2, n_iter: int = 8) -> str:
+    """Unrolled power-iteration PCA (mirrors
+    operators/embed_viz.pca_deterministic step for step).  Requires
+    EMB_FLAT_SQL's ef CTE."""
+    parts = ["""
+dimsx AS MATERIALIZED (SELECT vec_id, i - 1 AS dim, v FROM ef),
+muv AS MATERIALIZED (SELECT dim, avg(v) AS m FROM dimsx GROUP BY dim),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+ddim AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM muv),
+cov0 AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+         round(sum(a.v * b.v) / (SELECT n FROM nn) - ma.m * mb.m, 6) AS c
+  FROM dimsx a JOIN dimsx b ON a.vec_id = b.vec_id
+  JOIN muv ma ON ma.dim = a.dim JOIN muv mb ON mb.dim = b.dim
+  GROUP BY a.dim, b.dim, ma.m, mb.m
+),
+px0 AS MATERIALIZED (
+  SELECT dim,
+         round((dim + 1) / sqrt((SELECT sum((dim + 1) * (dim + 1)) FROM muv)), 8) AS x
+  FROM muv
+)"""]
+    selects = []
+    for k in range(n_components):
+        prev = "px0"
+        for t in range(1, n_iter + 1):
+            parts.append(f""",
+yc{k}i{t} AS MATERIALIZED (
+  SELECT c.i AS dim, round(sum(c.c * x.x), 8) AS y
+  FROM cov{k} c JOIN {prev} x ON x.dim = c.j GROUP BY c.i
+),
+nc{k}i{t} AS (SELECT sqrt(sum(y * y)) AS nrm FROM yc{k}i{t}),
+xc{k}i{t} AS MATERIALIZED (
+  SELECT dim, round(y / (SELECT nrm FROM nc{k}i{t}), 8) AS x FROM yc{k}i{t}
+)""")
+            prev = f"xc{k}i{t}"
+        parts.append(f""",
+yf{k} AS MATERIALIZED (
+  SELECT c.i AS dim, round(sum(c.c * x.x), 8) AS y
+  FROM cov{k} c JOIN {prev} x ON x.dim = c.j GROUP BY c.i
+),
+lam{k} AS MATERIALIZED (
+  SELECT round(sum(x.x * y.y), 6) AS lam
+  FROM {prev} x JOIN yf{k} y ON y.dim = x.dim
+),
+cov{k + 1} AS MATERIALIZED (
+  SELECT c.i, c.j,
+         round(c.c - (SELECT lam FROM lam{k}) * xi.x * xj.x, 6) AS c
+  FROM cov{k} c JOIN {prev} xi ON xi.dim = c.i
+                JOIN {prev} xj ON xj.dim = c.j
+)""")
+        selects.append(
+            f"SELECT {k} AS component, dim, x AS coord, "
+            f"(SELECT lam FROM lam{k}) AS eigenvalue FROM {prev}")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _kmeans_det_sql(k: int = 8, n_iter: int = 3) -> str:
     """Unrolled deterministic Lloyd's (mirrors
     operators/embed_viz.kmeans_deterministic): md5-picked init, fixed
     rounds, centroid coords rounded per round.  Requires EMB_FLAT_SQL."""
     parts = [f"""
-kcents AS (
+kcents AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INT) AS cell,
          vec_id AS cvid
   FROM embeddings
   ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
 ),
-c0 AS (
+c0 AS MATERIALIZED (
   SELECT c.cell, g.i - 1 AS dim, round(g.v, 6) AS m
   FROM kcents c JOIN ef g ON g.vec_id = c.cvid
 )"""]
     for t in range(1, n_iter + 1):
         parts.append(f""",
-d{t} AS (
+d{t} AS MATERIALIZED (
   SELECT f.vec_id, c.cell, sum((f.v - c.m) * (f.v - c.m)) AS d
   FROM ef f JOIN c{t - 1} c ON c.dim = f.i - 1
   GROUP BY f.vec_id, c.cell
 ),
-a{t} AS (
+a{t} AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS r
     FROM d{t}) q WHERE r = 1
 ),
-c{t} AS (
+c{t} AS MATERIALIZED (
   SELECT a.cell, f.i - 1 AS dim, round(avg(f.v), 6) AS m
   FROM a{t} a JOIN ef f ON f.vec_id = a.vec_id
   GROUP BY a.cell, f.i - 1
@@ -1197,6 +1260,9 @@ SELECT doc_id,
        round(CAST(len(list_filter(tll, x -> x IN (""" + _SW_EN + r""")))
              AS DOUBLE) / len(tll), 6) AS stop_ratio_en
 FROM t""",
+
+        "embed_pca_det": f"""
+WITH {EMB_FLAT_SQL},{_pca_det_sql(2, 8)}""",
 
         "embed_kmeans_det": f"""
 WITH {EMB_FLAT_SQL},{_kmeans_det_sql(8, 3)}

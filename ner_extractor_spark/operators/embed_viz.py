@@ -102,6 +102,92 @@ def kmeans_deterministic(emb: DataFrame, k: int = 8, n_iter: int = 3,
     return assigned, cents
 
 
+def pca_deterministic(emb: DataFrame, n_components: int = 2,
+                      n_iter: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """M7, engine-portable variant: top-k principal components by power
+    iteration with a FIXED iteration count and per-step rounding, so the
+    whole trajectory is reproducible in ANSI SQL (unlike MLlib PCA's
+    engine-internal LAPACK path, which stays as ``pca_2d``).
+
+    Recipe (every arithmetic step mirrored by the DuckDB oracle):
+      * covariance C[i][j] = Σ v_i v_j / n − μ_i μ_j, rounded to 6;
+      * x₀ᵢ = round((i+1)/√(Σ(j+1)²), 8) — deterministic ramp start.
+        NOT uniform 1/√d: for d=64 that is exactly 0.125, and products
+        of a 6-decimal c with 0.125 land exactly ON 8-decimal rounding
+        half-boundaries, so each engine coin-flips on its own float
+        noise (measured: 60/64 coords diverged at iteration 1);
+      * x_{t+1} = round(C x_t, 8) / ‖·‖, components rounded to 8;
+      * eigenvalue λ = round(xᵀCx, 6); deflate C ← round(C − λxxᵀ, 6).
+
+    Returns (component, dim, coord, eigenvalue) — d rows per component.
+
+    Scale note: the covariance here explodes d² products per vector
+    before the partial-agg combine (fine up to ~10⁸ rows × 64 dims); at
+    web scale swap that one stage for per-partition outer-product
+    accumulation (mapInArrow + numpy, d×d per partition) feeding the
+    same groupBy — the iteration algebra (tiny d×d tables) is unchanged.
+    Each iteration is localCheckpoint-ed: x_t is reused twice per step,
+    and without a barrier the lineage re-evaluates exponentially.
+    """
+    dims = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")))
+        .alias("dim", "val"))
+    n = emb.count()
+    mu = dims.groupBy("dim").agg(F.avg("val").alias("m"))
+    d = mu.count()
+    prod = (dims.alias("a").join(dims.alias("b"), "vec_id")
+            .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+            .agg(F.sum(F.col("a.val") * F.col("b.val")).alias("s")))
+    cov = (prod
+           .join(mu.select(F.col("dim").alias("i"), F.col("m").alias("mi")), "i")
+           .join(mu.select(F.col("dim").alias("j"), F.col("m").alias("mj")), "j")
+           .select("i", "j",
+                   F.round(F.col("s") / F.lit(float(n))
+                           - F.col("mi") * F.col("mj"), 6).alias("c"))
+           .localCheckpoint())
+
+    ramp_norm_sq = d * (d + 1) * (2 * d + 1) // 6   # Σ (i+1)², exact int
+    x0 = mu.select("dim", F.round((F.col("dim") + 1)
+                                  / F.sqrt(F.lit(float(ramp_norm_sq))), 8)
+                   .alias("x"))
+    out = None
+    for comp in range(n_components):
+        x = x0.localCheckpoint()
+        for _ in range(n_iter):
+            y = (cov.join(x.select(F.col("dim").alias("j"), "x"), "j")
+                 .groupBy(F.col("i").alias("dim"))
+                 .agg(F.round(F.sum(F.col("c") * F.col("x")), 8).alias("y"))
+                 .localCheckpoint())
+            nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+            x = (y.crossJoin(nrm)
+                 .select("dim", F.round(F.col("y") / F.col("nrm"), 8)
+                         .alias("x"))
+                 .localCheckpoint())
+        y_f = (cov.join(x.select(F.col("dim").alias("j"), "x"), "j")
+               .groupBy(F.col("i").alias("dim"))
+               .agg(F.round(F.sum(F.col("c") * F.col("x")), 8).alias("y")))
+        lam = (y_f.join(x, "dim")
+               .agg(F.round(F.sum(F.col("x") * F.col("y")), 6).alias("lam"))
+               .localCheckpoint())
+        rows = (x.crossJoin(lam)
+                .select(F.lit(comp).alias("component"), "dim",
+                        F.col("x").alias("coord"),
+                        F.col("lam").alias("eigenvalue")))
+        out = rows if out is None else out.unionByName(rows)
+        cov = (cov
+               .join(x.select(F.col("dim").alias("i"), F.col("x").alias("xi")), "i")
+               .join(x.select(F.col("dim").alias("j"), F.col("x").alias("xj")), "j")
+               .crossJoin(lam)
+               .select("i", "j",
+                       F.round(F.col("c") - F.col("lam") * F.col("xi")
+                               * F.col("xj"), 6).alias("c"))
+               .localCheckpoint())
+    return out
+
+
 def homogeneity(clustered: DataFrame, label_col: str = "label",
                 cluster_col: str = "cluster") -> float:
     """A13: homogeneity score h = 1 - H(C|K)/H(C) from the contingency
