@@ -82,3 +82,48 @@ def write_stage(manifest: StageManifest, stage: str, df: DataFrame,
 
 def read_lineage(spark: SparkSession, base_dir: str) -> DataFrame:
     return spark.read.parquet(str(Path(base_dir) / "_lineage"))
+
+
+def compact_stage(spark: SparkSession, manifest: StageManifest, stage: str,
+                  target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction for a completed stage (the Iceberg
+    ``rewrite_data_files`` analog): rewrite the stage table at
+    ceil(on-disk-bytes / target_bytes) partitions, swap atomically
+    (write aside, rename old out, rename new in), re-mark the manifest.
+
+    A long-running resumable pipeline accretes small files — every
+    micro-batch / retry / AQE-coalesced reducer adds some; at 100 TB the
+    scan-task count (and the NameNode/manifest pressure) is set by file
+    count, not data size, so periodic compaction is part of the table
+    contract, not an optimization.  Returns the new file count.
+
+    Hash-partitioned stage dirs (hive-style ``key=value`` subdirs) keep
+    their partitioning: compaction then runs per partition directory.
+    """
+    import math
+    import shutil
+
+    out = Path(manifest.path(stage))
+    if not manifest.done(stage):
+        raise ValueError(f"stage {stage!r} is not complete; nothing to compact")
+
+    part_dirs = [p for p in out.iterdir() if p.is_dir() and "=" in p.name]
+    targets = part_dirs or [out]
+    total_new = 0
+    for tdir in targets:
+        files = list(tdir.glob("*.parquet"))
+        nbytes = sum(f.stat().st_size for f in files)
+        n = max(1, math.ceil(nbytes / target_bytes))
+        if n >= len(files):
+            total_new += len(files)
+            continue
+        df = spark.read.parquet(str(tdir))
+        aside = tdir.with_name(tdir.name + "._compact")
+        df.repartition(n).write.mode("overwrite").parquet(str(aside))
+        old = tdir.with_name(tdir.name + "._old")
+        os.replace(tdir, old)
+        os.replace(aside, tdir)
+        shutil.rmtree(old)
+        total_new += len(list(tdir.glob("*.parquet")))
+    manifest.mark(stage, compacted=True)
+    return total_new

@@ -1,0 +1,66 @@
+"""Incremental KG construction over a page stream (SURVEY §2.11; north
+rule: resumable).  Two pieces:
+
+* ``dedup_pages_stream`` — streaming exact dedup: content-digest key +
+  ``dropDuplicatesWithinWatermark`` so the dedup state is BOUNDED by the
+  watermark horizon (an unbounded dropDuplicates would grow state
+  forever on a web-scale feed).
+* ``run_kg_stream`` — foreachBatch micro-batches running the SAME batch
+  operators (extract → tag → triples), writing each batch
+  ``mode("overwrite")`` into its own ``batch_id=N`` partition directory.
+  foreachBatch is at-least-once; the per-batch overwrite makes retries
+  idempotent, so the triples table is exactly-once end-to-end, and the
+  streaming checkpoint gives cross-run resume — the streaming analog of
+  plans/checkpoints.py's table-commit-then-manifest contract.
+
+The batch/stream parity is pinned by tests/test_kg_stream.py: the
+drained stream's triples equal ``extract_triples_local`` over the same
+pages read as a batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_pages_stream(pages_stream: DataFrame,
+                       watermark: str = "2 hours",
+                       text_col: str = "text") -> DataFrame:
+    """Exact near-real-time dedup: first page per normalized-content
+    digest wins; duplicates arriving within the watermark horizon are
+    dropped, state older than the horizon is evicted."""
+    key = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                        r"\s+", " ")))
+    return (pages_stream
+            .withColumn("content_key", key)
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["content_key"])
+            .drop("content_key"))
+
+
+def run_kg_stream(pages_stream: DataFrame, dictionary: dict,
+                  out_dir: str, checkpoint: str,
+                  lang: str | None = "en", predicates=None) -> None:
+    """Drain a pages stream through the batch KG operators, appending
+    idempotent per-batch triple partitions under ``out_dir/triples_raw``
+    (read back with ``spark.read.parquet(out_dir + '/triples_raw')`` —
+    batch_id surfaces as a partition column)."""
+    from ..operators.extract import extract_sentences
+    from ..operators.ner import tag_sentences
+    from ..operators.triples import DEFAULT_PREDICATES, extract_triples_local
+
+    preds = predicates or DEFAULT_PREDICATES
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = tag_sentences(extract_sentences(batch_df, lang=lang),
+                               dictionary)
+        triples = extract_triples_local(tagged, predicates=preds)
+        (triples.write.mode("overwrite")
+         .parquet(f"{out_dir}/triples_raw/batch_id={batch_id}"))
+
+    q = (pages_stream.writeStream
+         .foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -72,3 +72,31 @@ def test_prepare_corpus(spark, tmp_path):
     paths2 = prepare_corpus(spark, str(raw), str(out2), val_ratio=0.25)
     assert paths["train"].read_bytes() == paths2["train"].read_bytes()
     assert paths["validation"].read_bytes() == paths2["validation"].read_bytes()
+
+
+def test_compact_stage_preserves_data_and_resume(spark, tmp_path):
+    """Small-file compaction: fewer files, identical rows, manifest
+    resume still skips the stage."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ner_extractor_spark.plans.checkpoints import (StageManifest,
+                                                       compact_stage,
+                                                       write_stage)
+
+    man = StageManifest(str(tmp_path / "stages"))
+    df = spark.range(1000).select("id", (F.col("id") % 7).alias("x"))
+    write_stage(man, "s", df.repartition(32))
+    before = sorted(map(tuple, spark.read.parquet(man.path("s")).collect()))
+    n_before = len(list(Path(man.path("s")).glob("*.parquet")))
+    assert n_before >= 16
+
+    n_after = compact_stage(spark, man, "s")
+    assert n_after < n_before
+    after = sorted(map(tuple, spark.read.parquet(man.path("s")).collect()))
+    assert after == before
+    assert man.done("s")
+    # resume contract: write_stage still skips the compacted stage
+    again = write_stage(man, "s", df.limit(1))
+    assert again.count() == 1000
