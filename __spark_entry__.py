@@ -590,6 +590,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                             lambda a, v: a + v), 6)
                         .alias("feature_sum"))
 
+    def multimodal_resize(spark, sf):
+        # resize dimension algebra oracle-checked (synthetic dims derived
+        # from text length; the pixel kernel itself is the env-gated part)
+        from ner_extractor_spark.operators.multimodal import resize_images
+        d = _docs(spark, sf)
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("binary").alias("payload"),
+            F.lit("image/png").alias("mime"),
+            (F.length("text") % 500 + 10).cast("int").alias("width"),
+            (F.length("text") % 300 + 10).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"))
+        return resize_images(media, max_side=64).select(
+            "media_id", "out_width", "out_height")
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -644,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_group_fold": split_group_fold,
         "sample_deterministic": sample_deterministic,
         "set_ops": set_ops,
+        "multimodal_resize": multimodal_resize,
         # rows-only checks (non-SQL-expressible; pinned by pytest instead)
         "augment_entities": augment_entities,
         "embed_kmeans": embed_kmeans,
@@ -1260,6 +1277,21 @@ SELECT doc_id,
        round(CAST(len(list_filter(tll, x -> x IN (""" + _SW_EN + r""")))
              AS DOUBLE) / len(tll), 6) AS stop_ratio_en
 FROM t""",
+
+        "multimodal_resize": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(length(text) % 500 + 10 AS INT) AS w,
+         CAST(length(text) % 300 + 10 AS INT) AS h
+  FROM documents
+),
+s AS (SELECT media_id, w, h, 64.0 / greatest(w, h, 1) AS scale FROM m)
+SELECT media_id,
+       CASE WHEN scale < 1 THEN greatest(1, CAST(floor(w * scale) AS INT))
+            ELSE w END AS out_width,
+       CASE WHEN scale < 1 THEN greatest(1, CAST(floor(h * scale) AS INT))
+            ELSE h END AS out_height
+FROM s""",
 
         "embed_pca_det": f"""
 WITH {EMB_FLAT_SQL},{_pca_det_sql(2, 8)}""",
