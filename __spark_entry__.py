@@ -299,6 +299,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (linked.groupBy("entity_id")
                 .agg(F.count(F.lit(1)).alias("n_mentions")))
 
+    def _triple_edges(spark, sf):
+        from ner_extractor_spark.operators.triples import extract_triples_local
+        tri = extract_triples_local(_tagged(spark, sf),
+                                    predicates=PREDICATES, max_gap=8)
+        return tri.select(F.col("subj_surface").alias("src"),
+                          F.col("obj_surface").alias("dst"))
+
+    def graph_pagerank(spark, sf):
+        # entity salience over the subj->obj relation graph: fixed-round
+        # damped PageRank, rank rounded per round (oracle-reproducible)
+        from ner_extractor_spark.operators.graph import pagerank
+        return pagerank(_triple_edges(spark, sf), n_iter=5, damping=0.85)
+
+    def graph_degree(spark, sf):
+        from ner_extractor_spark.operators.graph import degree_stats
+        return degree_stats(_triple_edges(spark, sf))
+
     def kg_metrics_prf(spark, sf):
         pred = _mentions(spark, sf, GAZ)
         gold = _mentions(spark, sf, GAZ_GOLD)
@@ -525,6 +542,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.round(F.avg(k), 4).alias("avg_k"),
                      F.count(F.lit(1)).alias("n")))
 
+    def join_asof(spark, sf):
+        # as-of join (composition of built-ins, operators/asof.py): each
+        # click matched to the user's latest view at-or-before it.  The
+        # oracle is DuckDB's NATIVE ASOF LEFT JOIN — an independent
+        # algorithm, not a mirror of our window construction.
+        from ner_extractor_spark.operators.asof import asof_join
+        ev = _events(spark, sf)
+        clicks = ev.filter("event_type = 'click'").select(
+            "event_id", "user_id", "ts")
+        views = (ev.filter("event_type = 'view'")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("event_id").alias("view_event_id")))
+        out = asof_join(clicks, views, on="user_id")
+        return out.select("event_id", "user_id",
+                          F.col("r_view_event_id").alias("view_event_id"))
+
     def stream_window_counts(spark, sf):
         ev = _events(spark, sf)
         return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -626,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_word_freq": text_word_freq,
         "kg_triples": kg_triples,
         "kg_link_alias": kg_link_alias,
+        "graph_pagerank": graph_pagerank,
+        "graph_degree": graph_degree,
         "kg_metrics_prf": kg_metrics_prf,
         "kg_metrics_per_type": kg_metrics_per_type,
         "kg_token_accuracy": kg_token_accuracy,
@@ -654,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_event_types": topk_event_types,
         "sessionize": sessionize,
         "json_extract_props": json_extract_props,
+        "join_asof": join_asof,
         "stream_window_counts": stream_window_counts,
         "kfold_metric_summary": kfold_metric_summary,
         "split_stratified": split_stratified,
@@ -790,6 +826,62 @@ assigned AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
     FROM ccos) t WHERE r = 1
 )"""
+
+
+# triples CTE body shared by kg_triples / graph_* oracles (mirrors
+# operators/triples.extract_triples_local; requires MEN_SQL's men/toks)
+_TRI_BODY = """
+hits AS (
+  SELECT url, sent_id, pos, tok FROM toks WHERE tok IN ({pred_list})
+),
+tpairs AS (
+  SELECT m1.url, m1.sent_id,
+         m1.start AS subj_start, m1.surface AS subj_surface, m1.label AS subj_label,
+         m2.start AS obj_start,  m2.surface AS obj_surface,  m2.label AS obj_label,
+         min(h.pos) AS ppos
+  FROM men m1
+  JOIN men m2 ON m1.url = m2.url AND m1.sent_id = m2.sent_id
+             AND m1."end" < m2.start AND m2.start - m1."end" <= 8
+  JOIN hits h ON h.url = m1.url AND h.sent_id = m1.sent_id
+             AND h.pos > m1."end" AND h.pos < m2.start
+  GROUP BY ALL
+),
+tri AS (
+  SELECT p.url, p.sent_id, p.subj_start, p.subj_surface, p.subj_label,
+         t.tok AS pred, p.obj_start, p.obj_surface, p.obj_label
+  FROM tpairs p JOIN toks t
+    ON t.url = p.url AND t.sent_id = p.sent_id AND t.pos = p.ppos
+)"""
+
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled deterministic PageRank (mirrors operators/graph.pagerank
+    step for step); requires an ``edges(src, dst)`` CTE.  Damping
+    constants go through CAST(x AS DOUBLE) so DuckDB's DECIMAL literal
+    parsing cannot diverge from Spark's double literals."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    omd = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    parts = [""",
+pnodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+pn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pnodes),
+podeg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src
+),
+pr0 AS MATERIALIZED (
+  SELECT node, round(1.0 / (SELECT n FROM pn), 8) AS rank FROM pnodes
+)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+pr{t} AS MATERIALIZED (
+  SELECT np.node,
+         round({omd} / (SELECT n FROM pn) + {d} * coalesce(c.s, 0.0), 8) AS rank
+  FROM pnodes np LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / o.od) AS s
+    FROM edges e JOIN pr{t - 1} r ON r.node = e.src
+                 JOIN podeg o ON o.src = e.src
+    GROUP BY e.dst) c ON c.node = np.node
+)""")
+    return "".join(parts)
 
 
 def _pca_det_sql(n_components: int = 2, n_iter: int = 8) -> str:
@@ -977,26 +1069,29 @@ FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
 GROUP BY w HAVING count(*) >= 50""",
 
         "kg_triples": f"""
-WITH {MEN_SQL},
-hits AS (
-  SELECT url, sent_id, pos, tok FROM toks WHERE tok IN ({pred_list})
-),
-pairs AS (
-  SELECT m1.url, m1.sent_id,
-         m1.start AS subj_start, m1.surface AS subj_surface, m1.label AS subj_label,
-         m2.start AS obj_start,  m2.surface AS obj_surface,  m2.label AS obj_label,
-         min(h.pos) AS ppos
-  FROM men m1
-  JOIN men m2 ON m1.url = m2.url AND m1.sent_id = m2.sent_id
-             AND m1."end" < m2.start AND m2.start - m1."end" <= 8
-  JOIN hits h ON h.url = m1.url AND h.sent_id = m1.sent_id
-             AND h.pos > m1."end" AND h.pos < m2.start
-  GROUP BY ALL
-)
-SELECT p.url, p.sent_id, p.subj_start, p.subj_surface, p.subj_label,
-       t.tok AS pred, p.obj_start, p.obj_surface, p.obj_label
-FROM pairs p JOIN toks t
-  ON t.url = p.url AND t.sent_id = p.sent_id AND t.pos = p.ppos""",
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)}
+SELECT url, sent_id, subj_start, subj_surface, subj_label,
+       pred, obj_start, obj_surface, obj_label
+FROM tri""",
+
+        "graph_pagerank": f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+edges AS MATERIALIZED (
+  SELECT DISTINCT subj_surface AS src, obj_surface AS dst FROM tri
+){_pagerank_sql(5, 0.85)}
+SELECT node, rank FROM pr5""",
+
+        "graph_degree": f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+edges AS (SELECT DISTINCT subj_surface AS src, obj_surface AS dst FROM tri),
+og AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+       FROM edges GROUP BY src),
+ig AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+       FROM edges GROUP BY dst)
+SELECT coalesce(og.node, ig.node) AS node,
+       coalesce(og.out_deg, 0) AS out_deg,
+       coalesce(ig.in_deg, 0) AS in_deg
+FROM og FULL JOIN ig ON og.node = ig.node""",
 
         "kg_link_alias": f"""
 WITH {MEN_SQL},
@@ -1394,6 +1489,18 @@ SELECT event_type,
        round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DOUBLE)), 4) AS avg_k,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type""",
+
+        "join_asof": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, v.view_event_id
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts""",
 
         "stream_window_counts": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -1,0 +1,66 @@
+"""As-of (time-travel) join — a composition of existing DataFrame ops
+(build brief: custom operators Spark lacks, preference (a) composition
+over UDFs).
+
+``asof_join(left, right, on, ...)`` matches every left row to the LAST
+right row with ``right_ts <= left_ts`` for the same key (backward
+as-of, the kdb/pandas ``merge_asof`` default), optionally within a
+tolerance.  Construction: tag both sides, union, and propagate the
+latest right payload with ``last(..., ignorenulls=True)`` over a
+key-partitioned (ts, side) window — right rows sort BEFORE left rows at
+equal timestamps, so the match is inclusive (<=).  One shuffle (the
+window partition), the same cost as a sort-merge as-of; no UDF, no
+cartesian, no range self-join.
+
+Determinism contract: the right side must be unique per (key, ts) —
+pre-aggregate (e.g. ``max_by`` per key+ts) otherwise; with duplicates
+the window order among equal right rows is unspecified.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Union
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              on: Union[str, Sequence[str]],
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_prefix: str = "r_",
+              tolerance_s: int | None = None) -> DataFrame:
+    """Returns every left row + the matched right row's payload columns
+    (prefixed), nulls when nothing precedes it (left-join semantics) or
+    when the match is older than ``tolerance_s`` seconds."""
+    keys: List[str] = [on] if isinstance(on, str) else list(on)
+    lcols = list(left.columns)
+    rpay = [c for c in right.columns if c not in keys]
+
+    lstruct_t = left.select(
+        F.struct(*[F.col(c) for c in lcols]).alias("_l")).schema["_l"].dataType
+    rstruct_t = right.select(
+        F.struct(*[F.col(c) for c in rpay]).alias("_r")).schema["_r"].dataType
+
+    l = left.select(
+        *keys, F.col(left_ts).alias("_ts"), F.lit(1).alias("_lft"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast(rstruct_t).alias("_r"))
+    r = right.select(
+        *keys, F.col(right_ts).alias("_ts"), F.lit(0).alias("_lft"),
+        F.lit(None).cast(lstruct_t).alias("_l"),
+        F.struct(*[F.col(c) for c in rpay]).alias("_r"))
+
+    w = (Window.partitionBy(*keys).orderBy("_ts", "_lft")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = l.unionByName(r).withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+
+    matched = F.col("_m")
+    if tolerance_s is not None:
+        fresh = (F.unix_micros(F.col("_ts"))
+                 - F.unix_micros(F.col(f"_m.{right_ts}"))
+                 <= tolerance_s * 1_000_000)
+        matched = F.when(fresh, F.col("_m"))
+    return (u.filter(F.col("_lft") == 1)
+            .select(*[F.col(f"_l.{c}").alias(c) for c in lcols],
+                    *[matched.getField(c).alias(right_prefix + c)
+                      for c in rpay]))

@@ -1,0 +1,71 @@
+"""Entity-graph analytics over extracted triples (KG-construction
+companions to operators/cc.py's connected components).
+
+``pagerank`` — deterministic fixed-iteration damped PageRank, the
+standard entity-salience signal over the (subj → obj) relation graph.
+Engine-portable like the other iterative operators here
+(embed_viz.kmeans_deterministic / pca_deterministic): rank values are
+rounded to ``round_to`` decimals every iteration, so the DuckDB oracle
+recomputes the identical trajectory.
+
+Semantics (the simple formulation):
+    r_{t+1}(v) = round((1−d)/N + d · Σ_{u→v} r_t(u)/outdeg(u), 8)
+Dangling nodes' mass is dropped (ranks then sum to < 1) — documented,
+deterministic, and the convention the unrolled-SQL oracle mirrors.
+
+Scale shape: per iteration one join keyed on src (edges × ranks — the
+classic PR shuffle; pre-partition both sides by src on a real cluster
+to make it exchange-light) and one groupBy(dst).  Each iteration is
+localCheckpoint-ed (rank is consumed twice per step; without the
+barrier lineage re-evaluates exponentially, same as cc.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85,
+             src: str = "src", dst: str = "dst",
+             round_to: int = 8) -> DataFrame:
+    """(src, dst) edges -> (node, rank) after ``n_iter`` damped rounds.
+    Edges are de-duplicated first; the node set is src ∪ dst."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().localCheckpoint())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    odeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("od"))
+    base = F.lit(1.0 - damping) / F.lit(float(n))
+    r = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(float(n)), round_to).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (e.join(odeg, "src")
+                   .join(r.withColumnRenamed("node", "src"), "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("rank") / F.col("od")).alias("s")))
+        r = (nodes.join(contrib, "node", "left")
+             .select("node",
+                     F.round(base + F.lit(damping)
+                             * F.coalesce("s", F.lit(0.0)), round_to)
+                     .alias("rank"))
+             .localCheckpoint())
+    return r
+
+
+def degree_stats(edges: DataFrame, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """Per-node in/out degree over the distinct edge set — the cheap
+    first look at a relation graph's skew (hub detection)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct())
+    out_d = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    in_d = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    return (out_d.join(in_d, "node", "full")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg")))

@@ -17,8 +17,9 @@ Scale notes:
   * batch size is controlled by spark.sql.execution.arrow.maxRecordsPerBatch
     (session.py) — the analog of the reference's DataLoader batch size.
   * To cut pad-waste on a real transformer, pre-bucket by length:
-    ``df.repartitionByRange(F.size('tokens'))`` before this stage
-    (reference pads per arrival order; SURVEY §4.1).
+    ``tag_sentences(..., bucket_lengths=True)`` (= ``bucket_by_length``,
+    a RangePartition on size(tokens); reference pads per arrival order;
+    SURVEY §4.1).
   * torch threads must be pinned (torch.set_num_threads(1)) because Spark
     already runs one Python worker per core.
 """
@@ -76,7 +77,24 @@ class DictionaryTagger:
         return tags
 
 
-def tag_sentences(sentences: DataFrame, dictionary: Dict[Tuple[str, ...], str]) -> DataFrame:
+def bucket_by_length(sentences: DataFrame,
+                     partitions: int | None = None) -> DataFrame:
+    """Length-bucketed repartition for transformer inference (SURVEY
+    §4.1): RangePartition on size(tokens) so Arrow batches hold
+    similar-length sentences and fixed-shape padded minibatches waste
+    few pad tokens (the reference pads per arrival order).
+
+    Costs one shuffle — worth it only when the model forward dominates
+    (a real transformer); the dictionary tagger pads nothing, so
+    ``tag_sentences(..., bucket_lengths=False)`` stays the default."""
+    from pyspark.sql import functions as F
+    n = partitions or sentences.sparkSession.sparkContext.defaultParallelism
+    return sentences.repartitionByRange(n, F.size("tokens"))
+
+
+def tag_sentences(sentences: DataFrame,
+                  dictionary: Dict[Tuple[str, ...], str],
+                  bucket_lengths: bool = False) -> DataFrame:
     """sentences -> + pred_tags, via one Arrow-batched ``mapInArrow``
     stage.
 
@@ -109,8 +127,10 @@ def tag_sentences(sentences: DataFrame, dictionary: Dict[Tuple[str, ...], str]) 
 
     # input pruned to exactly what inference needs (Arrow width matters:
     # sent_text duplicates tokens byte-for-byte)
-    return sentences.select("url", "sent_id", "tokens").mapInArrow(
-        fn, schema=TAGGED)
+    pruned = sentences.select("url", "sent_id", "tokens")
+    if bucket_lengths:
+        pruned = bucket_by_length(pruned)
+    return pruned.mapInArrow(fn, schema=TAGGED)
 
 
 class TransformerTagger:

@@ -1,0 +1,52 @@
+"""As-of join semantics: backward inclusive match, left-join nulls,
+tolerance cutoff, multi-key, plan shape (window, no cartesian)."""
+
+import datetime as dt
+
+from ner_extractor_spark.operators.asof import asof_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10)), (2, "u", _ts(30)), (3, "u", _ts(5)),
+         (4, "v", _ts(20))],
+        "lid int, user string, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, "u", _ts(10)), (101, "u", _ts(25)), (102, "v", _ts(60))],
+        "rid int, user string, ts timestamp")
+    return left, right
+
+
+def test_backward_inclusive_and_left_nulls(spark):
+    left, right = _frames(spark)
+    out = {r["lid"]: r["r_rid"]
+           for r in asof_join(left, right, on="user").collect()}
+    assert out[1] == 100      # equal ts matches (inclusive <=)
+    assert out[2] == 101      # latest at-or-before wins
+    assert out[3] is None     # nothing precedes -> null, row kept
+    assert out[4] is None     # other key's rows never leak across
+
+
+def test_tolerance_cutoff(spark):
+    left, right = _frames(spark)
+    out = {r["lid"]: r["r_rid"]
+           for r in asof_join(left, right, on="user",
+                              tolerance_s=4 * 60).collect()}
+    assert out[1] == 100      # gap 0 <= 4 min
+    assert out[2] is None     # gap 5 min > tolerance -> nulled
+    assert len(out) == 4      # tolerance nulls, never drops rows
+
+
+def test_plan_is_window_not_cartesian(spark):
+    left, right = _frames(spark)
+    plan = asof_join(left, right, on="user")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

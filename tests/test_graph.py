@@ -1,0 +1,78 @@
+"""Entity-graph analytics: PageRank dataflow vs a sequential reference
+implementation, dangling-mass convention, degree stats."""
+
+from pyspark.sql import functions as F
+
+from ner_extractor_spark.operators.graph import degree_stats, pagerank
+
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+# 'e' appears only as a dst -> dangling node (no out-edges)
+EDGES_D = EDGES + [("c", "e")]
+
+
+def _reference_pagerank(edges, n_iter=5, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in set(edges):
+        out[u] = out.get(u, 0) + 1
+    import math
+
+    def r8(x):
+        return math.floor(x * 1e8 + 0.5) / 1e8   # SQL HALF_UP rounding
+
+    rank = {v: r8(1.0 / n) for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in set(edges):
+            contrib[v] += rank[u] / out[u]
+        rank = {v: r8((1.0 - d) / n + d * contrib[v]) for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_and_is_partition_invariant(spark):
+    df = spark.createDataFrame(EDGES_D, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+    want = _reference_pagerank(EDGES_D, n_iter=5)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # the hub 'c' (3 in-edges) outranks everything
+    assert got["c"] == max(got.values())
+    # dangling 'e' receives rank but redistributes none (mass dropped)
+    assert got["e"] > 0 and sum(got.values()) < 1.0
+    again = {r["node"]: r["rank"]
+             for r in pagerank(df.repartition(7), n_iter=5).collect()}
+    assert again == got
+
+
+def test_degree_stats(spark):
+    df = spark.createDataFrame(EDGES_D + [("a", "b")],  # dup edge dropped
+                               "src string, dst string")
+    got = {r["node"]: (r["out_deg"], r["in_deg"])
+           for r in degree_stats(df).collect()}
+    assert got["a"] == (2, 1)
+    assert got["c"] == (2, 3)
+    assert got["e"] == (0, 1)
+    assert got["d"] == (1, 0)
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    cyc = [("x", "y"), ("y", "z"), ("z", "x")]
+    df = spark.createDataFrame(cyc, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+    vals = set(got.values())
+    assert len(vals) == 1                      # symmetry preserved
+    assert abs(next(iter(vals)) - 1.0 / 3) < 1e-8
+
+
+def test_pagerank_plan_checkpointed_per_iteration(spark):
+    # rank is consumed twice per round; the operator must not rebuild
+    # the whole lineage per use (smoke: 10 rounds finish fast on 100s
+    # of edges — exponential re-eval would not)
+    edges = [(i % 37, (i * 7 + 1) % 37) for i in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = pagerank(df, n_iter=10)
+    assert out.count() == 37
+    s = out.agg(F.sum("rank")).first()[0]
+    assert 0.5 < s <= 1.000001

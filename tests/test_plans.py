@@ -49,6 +49,21 @@ def test_pages_to_triples_is_exchange_free(spark, tmp_path):
     assert "Exchange" not in plan2, plan2
 
 
+def test_length_bucketed_tagging_same_result(spark, tmp_path):
+    """bucket_lengths=True adds exactly one RangePartitioning exchange
+    before the tag UDF and changes no row (transformer pad-waste knob)."""
+    pages = _pages_on_disk(spark, tmp_path)
+    sents = extract_sentences(pages, lang=None)
+    gaz = synth.tagger_dictionary()
+    plain = tag_sentences(sents, gaz)
+    bucketed = tag_sentences(sents, gaz, bucket_lengths=True)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    key = lambda r: (r["url"], r["sent_id"])  # noqa: E731
+    assert sorted((key(r), list(r["pred_tags"])) for r in plain.collect()) \
+        == sorted((key(r), list(r["pred_tags"])) for r in bucketed.collect())
+
+
 def test_triples_stage_partition_pruning(spark, tmp_path):
     """The triples stage is written partitioned by subj_bucket; a
     bucket-keyed read must prune partitions at the scan (VERDICT r01 #10)."""
