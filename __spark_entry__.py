@@ -558,6 +558,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("event_id", "user_id",
                           F.col("r_view_event_id").alias("view_event_id"))
 
+    def join_range(spark, sf):
+        # range join (bucketed equi-join + exact BETWEEN, operators/
+        # asof.range_join): clicks inside the 5-minute window before an
+        # error by the same user
+        from ner_extractor_spark.operators.asof import range_join
+        ev = _events(spark, sf)
+        clicks = ev.filter("event_type = 'click'").select(
+            "event_id", "user_id", "ts")
+        errors = ev.filter("event_type = 'error'").select(
+            F.col("event_id").alias("error_id"), "user_id",
+            F.expr("ts - INTERVAL 5 MINUTES").alias("start_ts"),
+            F.col("ts").alias("end_ts"))
+        out = range_join(clicks, errors, on="user_id", bucket_s=300)
+        return out.select("event_id", "user_id",
+                          F.col("r_error_id").alias("error_id"))
+
     def stream_window_counts(spark, sf):
         ev = _events(spark, sf)
         return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -690,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": sessionize,
         "json_extract_props": json_extract_props,
         "join_asof": join_asof,
+        "join_range": join_range,
         "stream_window_counts": stream_window_counts,
         "kfold_metric_summary": kfold_metric_summary,
         "split_stratified": split_stratified,
@@ -1501,6 +1518,19 @@ views AS (
 SELECT c.event_id, c.user_id, v.view_event_id
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts""",
+
+        "join_range": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT event_id AS error_id, user_id, ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id, e.error_id
+FROM clicks c JOIN errors e
+  ON c.user_id = e.user_id
+ AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts""",
 
         "stream_window_counts": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -1,6 +1,6 @@
-"""As-of (time-travel) join — a composition of existing DataFrame ops
-(build brief: custom operators Spark lacks, preference (a) composition
-over UDFs).
+"""Temporal joins — as-of and range — as compositions of existing
+DataFrame ops (build brief: custom operators Spark lacks, preference
+(a) composition over UDFs).
 
 ``asof_join(left, right, on, ...)`` matches every left row to the LAST
 right row with ``right_ts <= left_ts`` for the same key (backward
@@ -56,11 +56,52 @@ def asof_join(left: DataFrame, right: DataFrame,
 
     matched = F.col("_m")
     if tolerance_s is not None:
-        fresh = (F.unix_micros(F.col("_ts"))
-                 - F.unix_micros(F.col(f"_m.{right_ts}"))
+        fresh = (F.unix_micros(F.col("_ts").cast("timestamp"))
+                 - F.unix_micros(F.col(f"_m.{right_ts}").cast("timestamp"))
                  <= tolerance_s * 1_000_000)
         matched = F.when(fresh, F.col("_m"))
     return (u.filter(F.col("_lft") == 1)
             .select(*[F.col(f"_l.{c}").alias(c) for c in lcols],
                     *[matched.getField(c).alias(right_prefix + c)
                       for c in rpay]))
+
+
+def range_join(left: DataFrame, right: DataFrame,
+               on: Union[str, Sequence[str]],
+               left_ts: str = "ts",
+               right_start: str = "start_ts", right_end: str = "end_ts",
+               bucket_s: int = 300,
+               right_prefix: str = "r_") -> DataFrame:
+    """Interval (range) join: every (left, right) pair with the same key
+    and ``right_start <= left_ts <= right_end`` — inner-join semantics.
+
+    Scale strategy: a naive key+BETWEEN join compiles to a nested-loop /
+    skewed join.  Instead both sides are quantized to ``bucket_s``-second
+    epoch buckets — the left point lands in one bucket, the right
+    interval EXPLODES across every bucket it covers — and the join runs
+    as an equi-join on (key, bucket) followed by the exact BETWEEN
+    filter.  Shuffle key cardinality scales with time-span/bucket_s, so
+    hot keys spread across their time range; pick ``bucket_s`` near the
+    typical interval length (bucket fan-out stays O(1) per interval).
+    Plan pinned nested-loop-free in tests/test_asof.py.
+    """
+    keys: List[str] = [on] if isinstance(on, str) else list(on)
+    rpay = [c for c in right.columns if c not in keys]
+
+    lb = F.floor(F.unix_micros(F.col(left_ts).cast("timestamp"))
+                 / (bucket_s * 1_000_000))
+    l = left.withColumn("_bucket", lb.cast("long"))
+    rs = F.floor(F.unix_micros(F.col(right_start).cast("timestamp"))
+                 / (bucket_s * 1_000_000))
+    re = F.floor(F.unix_micros(F.col(right_end).cast("timestamp"))
+                 / (bucket_s * 1_000_000))
+    r = (right
+         .withColumn("_bucket", F.explode(F.sequence(rs.cast("long"),
+                                                     re.cast("long"))))
+         .select(*keys, "_bucket",
+                 *[F.col(c).alias(right_prefix + c) for c in rpay]))
+
+    j = l.join(r, on=keys + ["_bucket"])
+    return (j.filter(F.col(left_ts).between(F.col(right_prefix + right_start),
+                                            F.col(right_prefix + right_end)))
+            .drop("_bucket"))

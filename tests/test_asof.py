@@ -43,6 +43,27 @@ def test_tolerance_cutoff(spark):
     assert len(out) == 4      # tolerance nulls, never drops rows
 
 
+def test_range_join_matches_naive_between(spark):
+    from ner_extractor_spark.operators.asof import range_join
+    left = spark.createDataFrame(
+        [(i, "u" if i % 3 else "v", _ts(i * 7)) for i in range(40)],
+        "lid int, user string, ts timestamp")
+    # intervals of varied width, some spanning many buckets
+    right = spark.createDataFrame(
+        [(100, "u", _ts(10), _ts(25)), (101, "u", _ts(60), _ts(200)),
+         (102, "v", _ts(0), _ts(5)), (103, "u", _ts(24), _ts(26))],
+        "rid int, user string, start_ts timestamp, end_ts timestamp")
+    got = range_join(left, right, on="user", bucket_s=600)
+    naive = (left.join(right, on="user")
+             .filter("ts between start_ts and end_ts")
+             .select("lid", "rid"))
+    g = sorted((r["lid"], r["r_rid"]) for r in got.collect())
+    assert g == sorted(map(tuple, naive.collect())) and len(g) > 5
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_plan_is_window_not_cartesian(spark):
     left, right = _frames(spark)
     plan = asof_join(left, right, on="user")._jdf.queryExecution() \
