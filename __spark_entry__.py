@@ -455,6 +455,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _docs(spark, sf).select(
             "doc_id", fingerprint(F.col("text")).alias("fp"))
 
+    def text_quality_filter(spark, sf):
+        # Gopher-style hard-rule keep/drop with first-violation reason
+        from ner_extractor_spark.functions.text import quality_filter
+        keep, reason = quality_filter(F.col("text"))
+        return _docs(spark, sf).select("doc_id", keep, reason)
+
+    def text_repetition(spark, sf):
+        # intra-document repetition (complements the inter-doc dedup_*)
+        from ner_extractor_spark.functions.text import repetition_features
+        dup, top = repetition_features(F.col("text"))
+        return _docs(spark, sf).select("doc_id", dup, top)
+
+    def text_pii(spark, sf):
+        from ner_extractor_spark.functions.text import pii_counts
+        return _docs(spark, sf).select("doc_id", *pii_counts(F.col("text")))
+
     def text_token_stats(spark, sf):
         # build brief token counting: whitespace + BPE-ish regex pieces,
         # plus the stopword-hit ratio used by the quality filter
@@ -694,6 +710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca_det": embed_pca_det,
         "text_quality": text_quality,
         "text_token_stats": text_token_stats,
+        "text_quality_filter": text_quality_filter,
+        "text_repetition": text_repetition,
+        "text_pii": text_pii,
         "text_fingerprint": text_fingerprint,
         "text_langid": text_langid,
         "text_lang_confusion": text_lang_confusion,
@@ -1021,9 +1040,13 @@ epairs AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    from ner_extractor_spark.functions.text import BPE_ISH_PATTERN, STOPWORDS
+    from ner_extractor_spark.functions.text import (BPE_ISH_PATTERN,
+                                                     PII_PATTERNS, STOPWORDS)
     _BPE = BPE_ISH_PATTERN
     _SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    PII_EMAIL = PII_PATTERNS["n_emails"]
+    PII_PHONE = PII_PATTERNS["n_phones"]
+    PII_IPV4 = PII_PATTERNS["n_ipv4"]
     pred_list = ", ".join(f"'{p}'" for p in PREDICATES)
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
 
@@ -1404,6 +1427,61 @@ SELECT media_id,
        CASE WHEN scale < 1 THEN greatest(1, CAST(floor(h * scale) AS INT))
             ELSE h END AS out_height
 FROM s""",
+
+        "text_quality_filter": r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS tl,
+         string_split_regex(trim(lower(text)), '\s+') AS tll
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(tl) END AS n,
+         CAST(len(text) AS DOUBLE) / greatest(len(tl), 1) AS mean_len,
+         CAST(len(list_distinct(tl)) AS DOUBLE) / greatest(len(tl), 1) AS uniq,
+         CAST(len(list_filter(tll, x -> x IN (""" + _SW_EN + r""")))
+              AS DOUBLE) / len(tll) AS sw
+  FROM t
+),
+rs AS (
+  SELECT doc_id,
+         CASE WHEN n < 5 THEN 'too_short'
+              WHEN n > 100000 THEN 'too_long'
+              WHEN mean_len < 2.0 THEN 'tokens_too_short'
+              WHEN mean_len > 12.0 THEN 'tokens_too_long'
+              WHEN sw < 0.01 THEN 'no_stopwords'
+              WHEN uniq < 0.2 THEN 'too_repetitive'
+              ELSE 'ok' END AS reason
+  FROM f
+)
+SELECT doc_id, reason = 'ok' AS keep, reason FROM rs""",
+
+        "text_repetition": r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tl
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, tl,
+         list_transform(generate_series(1, greatest(len(tl) - 2, 1)),
+                        i -> array_to_string(tl[i:least(i + 2, len(tl))], ' ')) AS shl
+  FROM t
+)
+SELECT doc_id,
+       round(1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / len(shl), 6)
+         AS dup_shingle_ratio,
+       round(CAST(list_max(list_transform(list_distinct(tl),
+                    u -> len(list_filter(tl, x -> x = u)))) AS DOUBLE)
+             / greatest(len(tl), 1), 6) AS top_token_share
+FROM sh""",
+
+        "text_pii": """
+SELECT doc_id,
+       len(regexp_extract_all(text, '""" + PII_EMAIL + """')) AS n_emails,
+       len(regexp_extract_all(text, '""" + PII_PHONE + """')) AS n_phones,
+       len(regexp_extract_all(text, '""" + PII_IPV4 + """')) AS n_ipv4
+FROM documents""",
 
         "embed_pca_det": f"""
 WITH {EMB_FLAT_SQL},{_pca_det_sql(2, 8)}""",

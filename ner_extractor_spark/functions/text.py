@@ -95,3 +95,73 @@ def fingerprint(col) -> Column:
     """Document fingerprint: md5 over the whitespace-normalized,
     lowercased text (rolling-hash stand-in; portable + deterministic)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+# Gopher-style hard quality thresholds (Rae et al. 2021 §A1.1 family —
+# published rules, tuned loosely to the synthetic corpus scale)
+QUALITY_RULES = {
+    "min_tokens": 5,
+    "max_tokens": 100_000,
+    "mean_token_len_min": 2.0,
+    "mean_token_len_max": 12.0,
+    "min_stopword_ratio": 0.01,
+    "min_unique_ratio": 0.2,
+}
+
+
+def quality_filter(col, rules: dict | None = None):
+    """C4/Gopher-style keep/drop decision: (keep boolean, reason string —
+    the FIRST violated rule in a fixed order, 'ok' when kept).  Pure
+    built-ins; the thresholds are data, not code."""
+    r = {**QUALITY_RULES, **(rules or {})}
+    toks = tokens(col)
+    n = token_count(col)
+    mean_len = F.length(col) / F.greatest(F.size(toks), F.lit(1))
+    uniq = F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+    sw = stopword_ratio(col)
+    reason = (
+        F.when(n < r["min_tokens"], F.lit("too_short"))
+        .when(n > r["max_tokens"], F.lit("too_long"))
+        .when(mean_len < r["mean_token_len_min"], F.lit("tokens_too_short"))
+        .when(mean_len > r["mean_token_len_max"], F.lit("tokens_too_long"))
+        .when(sw < r["min_stopword_ratio"], F.lit("no_stopwords"))
+        .when(uniq < r["min_unique_ratio"], F.lit("too_repetitive"))
+        .otherwise(F.lit("ok")))
+    return (reason == "ok").alias("keep"), reason.alias("reason")
+
+
+def repetition_features(col, shingle_n: int = 3):
+    """Intra-document repetition (the Gopher 'repetition' family —
+    complements inter-document dedup): duplicate word-n-gram fraction
+    and the share of the single most frequent token.  Returns
+    (dup_shingle_ratio, top_token_share) columns, both rounded."""
+    toks = tokens(F.lower(col))
+    all_sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle_n - 1),
+                                        F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_n)))
+    dup = F.round(F.lit(1.0) - F.size(F.array_distinct(all_sh))
+                  / F.size(all_sh), 6)
+    top = F.round(
+        F.array_max(F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t))))
+        / F.greatest(F.size(toks), F.lit(1)), 6)
+    return dup.alias("dup_shingle_ratio"), top.alias("top_token_share")
+
+
+# deliberately lookaround-free patterns (Java regex AND RE2 identical)
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "n_phones": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "n_ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(col):
+    """Per-document PII-ish pattern counts (emails / phone-shaped runs /
+    IPv4) — the scrubbing pre-pass of a training-data pipeline.  Counts
+    only (the redaction itself is regexp_replace with the same
+    patterns); patterns engine-portable for the oracle."""
+    return [F.size(F.regexp_extract_all(col, F.lit(p), F.lit(0))).alias(name)
+            for name, p in PII_PATTERNS.items()]

@@ -38,3 +38,47 @@ def test_fingerprint_normalization(spark):
     fp = {r["id"]: r["f"] for r in
           df.select("id", fingerprint(F.col("text")).alias("f")).collect()}
     assert fp[1] == fp[2] != fp[3]
+
+
+def test_quality_filter_reasons(spark):
+    from pyspark.sql import functions as F
+
+    from ner_extractor_spark.functions.text import quality_filter
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),  # ok
+        (2, "tiny doc"),                                           # too_short
+        (3, "a b c d e f g h i j"),                                # tokens_too_short
+        (4, "zz yy xx ww vv uu tt ss"),                            # no_stopwords
+        (5, "the the the the the the the the"),                    # too_repetitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    keep, reason = quality_filter(F.col("text"))
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in df.select("doc_id", keep, reason).collect()}
+    assert got[1] == (True, "ok")
+    assert got[2] == (False, "too_short")
+    assert got[3] == (False, "tokens_too_short")
+    assert got[4] == (False, "no_stopwords")
+    assert got[5] == (False, "too_repetitive")
+
+
+def test_repetition_and_pii(spark):
+    from pyspark.sql import functions as F
+
+    from ner_extractor_spark.functions.text import (pii_counts,
+                                                    repetition_features)
+    rows = [
+        (1, "a b c a b c a b c a b c"),           # highly repetitive
+        (2, "one two three four five six seven"),  # no repeats
+        (3, "mail me at jo.doe@example.com or 12.34.56.78 now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    dup, top = repetition_features(F.col("text"))
+    got = {r["doc_id"]: (r["dup_shingle_ratio"], r["top_token_share"])
+           for r in df.select("doc_id", dup, top).collect()}
+    assert got[1][0] > 0.5 and abs(got[1][1] - 4 / 12) < 1e-6
+    assert got[2] == (0.0, round(1 / 7, 6))
+    pii = {r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ipv4"])
+           for r in df.select("doc_id", *pii_counts(F.col("text"))).collect()}
+    assert pii[3][0] == 1 and pii[3][2] == 1
+    assert pii[1] == (0, 0, 0)
