@@ -150,7 +150,8 @@ class TransformerTagger:
         enc    = tokenizer(words, is_split_into_words=True,
                            truncation=True, max_length=self.max_length)
         logits = model(**enc)                       # batched forward
-        sub    = viterbi(logits) or logits.argmax(-1)
+        sub    = functions/crf.viterbi_decode(logits, crf.transitions)
+                 # (or crf.greedy_decode — both implemented + tested)
         tags   = first_subword_inverse(enc.word_ids(), sub)   # F10
     """
 

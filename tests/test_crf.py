@@ -1,0 +1,61 @@
+"""M3/M4 decode algebra: Viterbi vs brute-force enumeration (property),
+greedy baseline, deterministic tie-breaks."""
+
+import itertools
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ner_extractor_spark.functions.crf import (greedy_decode, path_score,
+                                               viterbi_decode)
+
+scores = st.floats(min_value=-5, max_value=5,
+                   allow_nan=False, allow_infinity=False)
+
+
+@st.composite
+def problem(draw):
+    T = draw(st.integers(min_value=1, max_value=5))
+    K = draw(st.integers(min_value=1, max_value=4))
+    em = [[draw(scores) for _ in range(K)] for _ in range(T)]
+    tr = [[draw(scores) for _ in range(K)] for _ in range(K)]
+    use_se = draw(st.booleans())
+    start = [draw(scores) for _ in range(K)] if use_se else None
+    end = [draw(scores) for _ in range(K)] if use_se else None
+    return em, tr, start, end
+
+
+@settings(max_examples=200, deadline=None)
+@given(problem())
+def test_viterbi_matches_bruteforce(p):
+    em, tr, start, end = p
+    T, K = len(em), len(em[0])
+    got = viterbi_decode(em, tr, start, end)
+    # brute force: max score, ties to lexicographically smallest path —
+    # exactly the DP's per-step min-index tie-break
+    best = max(itertools.product(range(K), repeat=T),
+               key=lambda path: (path_score(path, em, tr, start, end),
+                                 tuple(-x for x in path)))
+    assert path_score(got, em, tr, start, end) == \
+        path_score(best, em, tr, start, end)
+
+
+def test_tie_break_smallest_index():
+    em = [[1.0, 1.0], [1.0, 1.0]]
+    tr = [[0.0, 0.0], [0.0, 0.0]]
+    assert viterbi_decode(em, tr) == [0, 0]
+    assert greedy_decode(em) == [0, 0]
+
+
+def test_transitions_override_emissions():
+    # emission prefers tag 1 at t=1, but the 0->1 transition is so
+    # punitive that staying on 0 wins — the thing greedy gets wrong
+    em = [[2.0, 0.0], [0.0, 1.0]]
+    tr = [[0.0, -10.0], [0.0, 0.0]]
+    assert viterbi_decode(em, tr) == [0, 0]
+    assert greedy_decode(em) == [0, 1]
+
+
+def test_empty_and_single():
+    assert viterbi_decode([], [[0.0]]) == []
+    assert viterbi_decode([[0.5, 1.5]], [[0, 0], [0, 0]]) == [1]
