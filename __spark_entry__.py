@@ -316,6 +316,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.operators.graph import degree_stats
         return degree_stats(_triple_edges(spark, sf))
 
+    def kg_viterbi_tags(spark, sf):
+        # M3 decode exercised as a real Arrow stage, oracle-checked: the
+        # recursive-CTE oracle replays the SAME dynamic program over
+        # dyadic-rational scores, so path AND score match bit-for-bit
+        from ner_extractor_spark.operators.ner import viterbi_tag_scores
+        return viterbi_tag_scores(_sentences(spark, sf))
+
     def kg_metrics_prf(spark, sf):
         pred = _mentions(spark, sf, GAZ)
         gold = _mentions(spark, sf, GAZ_GOLD)
@@ -693,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_alias": kg_link_alias,
         "graph_pagerank": graph_pagerank,
         "graph_degree": graph_degree,
+        "kg_viterbi_tags": kg_viterbi_tags,
         "kg_metrics_prf": kg_metrics_prf,
         "kg_metrics_per_type": kg_metrics_per_type,
         "kg_token_accuracy": kg_token_accuracy,
@@ -887,6 +895,53 @@ tri AS (
          t.tok AS pred, p.obj_start, p.obj_surface, p.obj_label
   FROM tpairs p JOIN toks t
     ON t.url = p.url AND t.sent_id = p.sent_id AND t.pos = p.ppos
+)"""
+
+
+def _viterbi_sql() -> str:
+    """Recursive-CTE Viterbi over toks (mirrors
+    operators/ner.viterbi_tag_scores bit for bit): K=3 tags, emission =
+    first md5 byte of 'k|token' over 256 (dyadic), transitions =
+    VITERBI_TRANSITIONS (dyadic).  State per sentence = 3 running scores
+    + 3 running path strings; tie-breaks via >= chains keep the smallest
+    tag index, matching the Python DP's strict-improvement scan."""
+    from ner_extractor_spark.operators.ner import VITERBI_TRANSITIONS
+    T = [[int(v * 256) for v in row] for row in VITERBI_TRANSITIONS]
+
+    def em(k, tok="x.tok"):
+        h = f"md5('{k}|' || {tok})"
+        return (f"((strpos('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+                f" + (strpos('0123456789abcdef', substring({h}, 2, 1)) - 1))"
+                f" / 256.0")
+
+    def step_score(j):
+        cands = ", ".join(f"d.s{i} + ({T[i][j]} / 256.0)" for i in range(3))
+        return f"greatest({cands}) + {em(j)}"
+
+    def step_path(j):
+        a = f"d.s0 + ({T[0][j]} / 256.0)"
+        b = f"d.s1 + ({T[1][j]} / 256.0)"
+        c = f"d.s2 + ({T[2][j]} / 256.0)"
+        return (f"CASE WHEN {a} >= {b} AND {a} >= {c} THEN d.p0 "
+                f"WHEN {b} >= {c} THEN d.p1 ELSE d.p2 END || ',{j}'")
+
+    return f""",
+vdp(url, sent_id, t, s0, s1, s2, p0, p1, p2) AS (
+  SELECT x.url, x.sent_id, 0,
+         {em(0)}, {em(1)}, {em(2)},
+         '0', '1', '2'
+  FROM toks x WHERE x.pos = 0
+  UNION ALL
+  SELECT d.url, d.sent_id, d.t + 1,
+         {step_score(0)}, {step_score(1)}, {step_score(2)},
+         {step_path(0)}, {step_path(1)}, {step_path(2)}
+  FROM vdp d JOIN toks x
+    ON x.url = d.url AND x.sent_id = d.sent_id AND x.pos = d.t + 1
+),
+vlast AS (
+  SELECT d.* FROM vdp d
+  JOIN (SELECT url, sent_id, max(pos) AS mx FROM toks GROUP BY url, sent_id) m
+    ON m.url = d.url AND m.sent_id = d.sent_id AND d.t = m.mx
 )"""
 
 
@@ -1113,6 +1168,15 @@ WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)}
 SELECT url, sent_id, subj_start, subj_surface, subj_label,
        pred, obj_start, obj_surface, obj_label
 FROM tri""",
+
+        "kg_viterbi_tags": f"""
+WITH RECURSIVE {TOKS_SQL}{_viterbi_sql()}
+SELECT url, sent_id,
+       CASE WHEN s0 >= s1 AND s0 >= s2 THEN p0
+            WHEN s1 >= s2 THEN p1 ELSE p2 END AS path,
+       CASE WHEN s0 >= s1 AND s0 >= s2 THEN s0
+            WHEN s1 >= s2 THEN s1 ELSE s2 END AS score
+FROM vlast""",
 
         "graph_pagerank": f"""
 WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},

@@ -133,6 +133,61 @@ def tag_sentences(sentences: DataFrame,
     return pruned.mapInArrow(fn, schema=TAGGED)
 
 
+# dyadic-rational transition scores (k/256 — exactly representable
+# doubles, so every DP sum is bit-identical in any IEEE engine)
+VITERBI_TRANSITIONS = [[8 / 256, -32 / 256, 4 / 256],
+                       [2 / 256, 6 / 256, 16 / 256],
+                       [-4 / 256, 12 / 256, 8 / 256]]
+
+
+def viterbi_tag_scores(sentences: DataFrame, n_tags: int = 3) -> DataFrame:
+    """M3 exercised as a REAL Arrow stage with a cross-engine oracle:
+    per sentence, emission[t][k] = md5(k|token)'s first byte / 256 (an
+    exact dyadic rational), transitions = ``VITERBI_TRANSITIONS``, and
+    ``functions/crf.viterbi_decode`` runs inside ``mapInArrow`` exactly
+    where a CRF head's decode runs in production.  Because every score
+    is a dyadic rational and the DP visits positions in a fixed order,
+    the DuckDB recursive-CTE oracle reproduces path AND score
+    bit-identically — no rounding tolerance needed.
+
+    Returns (url, sent_id, path, score): path as comma-joined tag
+    indices, score as the raw (exactly-reproducible) double.
+    """
+    from ..functions.crf import path_score, viterbi_decode
+
+    trans = [row[:n_tags] for row in VITERBI_TRANSITIONS[:n_tags]]
+
+    def fn(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        def em(tok: str, k: int) -> float:
+            h = hashlib.md5(f"{k}|{tok}".encode()).hexdigest()
+            return int(h[:2], 16) / 256.0
+
+        for batch in batches:
+            urls = batch.column(0)
+            sids = batch.column(1)
+            paths, scores = [], []
+            for toks in batch.column(2).to_pylist():
+                ems = [[em(t, k) for k in range(n_tags)] for t in toks]
+                p = viterbi_decode(ems, trans)
+                paths.append(",".join(map(str, p)))
+                # NO rounding: every term is an exact dyadic rational,
+                # so the raw double is already bit-identical to the
+                # oracle's (a decimal round here would reintroduce
+                # half-way-tie divergence between rounding modes)
+                scores.append(path_score(p, ems, trans))
+            yield pa.RecordBatch.from_arrays(
+                [urls, sids, pa.array(paths, type=pa.string()),
+                 pa.array(scores, type=pa.float64())],
+                names=["url", "sent_id", "path", "score"])
+
+    return sentences.select("url", "sent_id", "tokens").mapInArrow(
+        fn, schema="url string, sent_id int, path string, score double")
+
+
 class TransformerTagger:
     """Real DistilBERT-CRF-style inference path (reference
     ``src/modeling.py:91-132``): tokenize with word alignment, batched
