@@ -9,8 +9,11 @@ from hypothesis import strategies as st
 from ner_extractor_spark.functions.crf import (greedy_decode, path_score,
                                                viterbi_decode)
 
-scores = st.floats(min_value=-5, max_value=5,
-                   allow_nan=False, allow_infinity=False)
+# dyadic rationals (k/256): every partial sum is exactly representable,
+# so the DP's accumulation order and path_score's agree bit-for-bit —
+# with arbitrary floats the two legitimate summation orders differ by
+# ulps and near-ties flip (that is float physics, not a decode bug)
+scores = st.integers(min_value=-1280, max_value=1280).map(lambda k: k / 256)
 
 
 @st.composite
