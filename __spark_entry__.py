@@ -603,6 +603,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .select(F.col("w.start").alias("window_start"), "event_type", "n"))
 
+    def agg_percentiles(spark, sf):
+        # EXACT interpolated percentiles (sort-based `percentile`, the
+        # same linear-interpolation definition as DuckDB quantile_cont —
+        # approx_percentile is the sketch variant, engine-specific)
+        ev = _events(spark, sf)
+        return ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"))
+
+    def agg_rollup(spark, sf):
+        # ROLLUP totals: (lang, source), per-lang subtotal, grand total
+        d = _docs(spark, sf)
+        return (d.rollup("lang", "source")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.avg(F.length("text")), 4).alias("avg_len")))
+
     def kfold_metric_summary(spark, sf):
         return (_events(spark, sf).groupBy("event_type").agg(
             F.round(F.avg("value"), 4).alias("mean"),
@@ -735,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof": join_asof,
         "join_range": join_range,
         "stream_window_counts": stream_window_counts,
+        "agg_percentiles": agg_percentiles,
+        "agg_rollup": agg_rollup,
         "kfold_metric_summary": kfold_metric_summary,
         "split_stratified": split_stratified,
         "split_group_fold": split_group_fold,
@@ -1648,6 +1668,19 @@ SELECT event_type,
        round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DOUBLE)), 4) AS avg_k,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type""",
+
+        "agg_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type""",
+
+        "agg_rollup": """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       round(avg(CAST(length(text) AS DOUBLE)), 4) AS avg_len
+FROM documents GROUP BY ROLLUP (lang, source)""",
 
         "join_asof": """
 WITH clicks AS (
