@@ -50,9 +50,19 @@ def main(argv=None):
         str(cfg_paths["workdir"]) if cfg_paths.get("workdir") else None)
     if not workdir:
         p.error("--workdir (or config paths.workdir) is required")
-    synth_n = args.synth if args.synth is not None else int(cfg.get("synth", 0))
-    lang_arg = args.lang if args.lang is not None else cfg.get("lang", "en")
-    run_id = args.run_id if args.run_id is not None else cfg.get("run_id", "run0")
+    # present-but-null YAML keys (e.g. "synth:") must fall back to the
+    # documented defaults, exactly like absent keys — except lang, where
+    # explicit null/"" legitimately means "all languages"
+    cfg_synth = cfg.get("synth")
+    synth_n = args.synth if args.synth is not None else int(cfg_synth or 0)
+    if args.lang is not None:
+        lang_arg = args.lang
+    elif "lang" in cfg:
+        lang_arg = cfg["lang"] if cfg["lang"] is not None else "all"
+    else:
+        lang_arg = "en"
+    run_id = args.run_id if args.run_id is not None \
+        else (cfg.get("run_id") or "run0")
 
     spark = get_spark(app_name="kg-pipeline")
 
@@ -65,15 +75,20 @@ def main(argv=None):
     aliases = spark.createDataFrame(synth.alias_rows(), schema=ALIASES)
 
     # S7: persist the resolved run config next to the outputs (paths
-    # relativized against the workdir where possible)
+    # relativized against the workdir where possible).  Best-effort: a
+    # driver without PyYAML still runs the pipeline (config persistence
+    # is an audit artifact, not a dependency).
     from pathlib import Path as _Path
 
     from ner_extractor_spark.config import save_config
-    save_config({
-        "paths": {"pages": _Path(pages_path).resolve() if pages_path else None,
-                  "workdir": _Path(workdir).resolve()},
-        "lang": lang_arg, "run_id": run_id, "synth": synth_n,
-    }, _Path(workdir) / "config.yaml")
+    try:
+        save_config({
+            "paths": {"pages": _Path(pages_path).resolve() if pages_path else None,
+                      "workdir": _Path(workdir).resolve()},
+            "lang": lang_arg, "run_id": run_id, "synth": synth_n,
+        }, _Path(workdir) / "config.yaml")
+    except NotImplementedError:
+        pass  # no PyYAML on this driver
 
     lang = None if lang_arg in ("", "all") else lang_arg
     res = run_kg_pipeline(spark, pages, aliases, synth.tagger_dictionary(),

@@ -70,7 +70,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
     banded signature -> explode -> self-join on (band, band_hash).
-    The band hash concatenates `band_size` minhashes, so bucket
+    The band key concatenates the band's `band_size` minhashes sorted BY
+    VALUE (a multiset key — deliberately order-insensitive within the
+    band, mirrored verbatim by the DuckDB oracle's ORDER BY h): bucket
     cardinality is huge and the self-join shuffle is well spread.
     """
     base = docs.select(F.col(id_col).alias("id"),
@@ -80,8 +82,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         F.posexplode(minhash_sig_from(F.col("sh"), n_hashes)).alias("k", "h"),
     ).withColumn("band", (F.col("k") / band_size).cast("int"))
     bands = sig.groupBy("id", "band").agg(
-        F.concat_ws("", F.array_sort(F.collect_list(F.struct("k", "h")).getField("h")))
-        .alias("bh"))
+        F.concat_ws("", F.array_sort(F.collect_list("h"))).alias("bh"))
     a = bands.select(F.col("id").alias("a"), "band", "bh")
     b = bands.select(F.col("id").alias("b"), "band", "bh")
     return (a.join(b, on=["band", "bh"]).filter(F.col("a") < F.col("b"))
@@ -109,10 +110,13 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
     ids = (pairs.select(F.col("a").alias("id"))
            .unionByName(pairs.select(F.col("b").alias("id")))
            .distinct())
+    # sh is consumed three times (sizes + both pair joins) — materialize
+    # it too, or the shingle pipeline re-evaluates per consumer
     sh = (docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
           .join(ids, on="id", how="leftsemi")
           .select("id", F.explode(word_shingles(F.col("t"), shingle_n))
-                  .alias("shingle")))
+                  .alias("shingle"))
+          .localCheckpoint())
     # word_shingles is array_distinct, so count(*) == set size
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
     inter = (

@@ -106,9 +106,10 @@ def lsh_candidates(left: DataFrame, left_key: str,
             F.posexplode(minhash_signature_from(F.col("_sh"), n_hashes))
             .alias("k", "h"),
         ).withColumn("band", (F.col("k") / band_size).cast("int"))
+        # multiset band key (sorted by value) — same construction and
+        # rationale as operators/dedup.minhash_lsh_pairs
         return sig.groupBy(key, "band").agg(
-            F.concat_ws("", F.array_sort(
-                F.collect_list(F.struct("k", "h")).getField("h"))).alias("bh"))
+            F.concat_ws("", F.array_sort(F.collect_list("h"))).alias("bh"))
 
     lb = bands(left.select(left_key).distinct(), left_key)
     rb = bands(right.select(right_key).distinct(), right_key)

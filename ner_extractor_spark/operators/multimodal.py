@@ -124,7 +124,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 dur = 0 if r.duration_ms is None or pd.isna(r.duration_ms) \
                     else int(r.duration_ms)
-                n = max(1, dur // every_ms)
+                # every frame timestamp <= duration: floor(dur/every)+1
+                # (an ffmpeg fps-style sampler includes t=0 AND the last
+                # in-range tick — dur=2500,every=1000 -> 0,1000,2000)
+                n = dur // every_ms + 1
                 for i in range(n):
                     rows.append((r.media_id, i, i * every_ms,
                                  _fake_bytes(r.payload, f"frame|{i}")))

@@ -155,6 +155,11 @@ def viterbi_tag_scores(sentences: DataFrame, n_tags: int = 3) -> DataFrame:
     """
     from ..functions.crf import path_score, viterbi_decode
 
+    if n_tags > len(VITERBI_TRANSITIONS):
+        raise ValueError(
+            f"n_tags={n_tags} exceeds the {len(VITERBI_TRANSITIONS)}-tag "
+            "transition matrix — extend VITERBI_TRANSITIONS (fail fast on "
+            "the driver, not inside an executor batch)")
     trans = [row[:n_tags] for row in VITERBI_TRANSITIONS[:n_tags]]
 
     def fn(batches):

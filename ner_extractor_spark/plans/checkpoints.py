@@ -45,7 +45,11 @@ class StageManifest:
 
     def mark(self, stage: str, **meta) -> None:
         m = self._load()
-        m["stages"][stage] = {"path": self.path(stage), "ts": time.time(), **meta}
+        # MERGE with any existing entry: a later mark (e.g. compaction)
+        # must not drop the run_id recorded at the stage commit
+        prev = m["stages"].get(stage, {})
+        m["stages"][stage] = {**prev, "path": self.path(stage),
+                              "ts": time.time(), **meta}
         tmp = self.manifest_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(m, indent=2))
         os.replace(tmp, self.manifest_path)
@@ -99,6 +103,14 @@ def compact_stage(spark: SparkSession, manifest: StageManifest, stage: str,
 
     Hash-partitioned stage dirs (hive-style ``key=value`` subdirs) keep
     their partitioning: compaction then runs per partition directory.
+
+    Crash posture: the aside/retired directories use ``_``-prefixed
+    names, which every Spark/Hadoop reader treats as hidden — a crash
+    mid-compaction never pollutes partition discovery, and stale temp
+    dirs are cleaned on the next attempt.  A crash exactly between the
+    two renames leaves the data recoverable in ``_retired_*`` (a truly
+    atomic multi-directory swap is what Iceberg's snapshot commit
+    provides; this is the parquet-dir approximation).
     """
     import math
     import shutil
@@ -107,10 +119,15 @@ def compact_stage(spark: SparkSession, manifest: StageManifest, stage: str,
     if not manifest.done(stage):
         raise ValueError(f"stage {stage!r} is not complete; nothing to compact")
 
-    part_dirs = [p for p in out.iterdir() if p.is_dir() and "=" in p.name]
+    part_dirs = [p for p in out.iterdir()
+                 if p.is_dir() and "=" in p.name and not p.name.startswith("_")]
     targets = part_dirs or [out]
     total_new = 0
     for tdir in targets:
+        aside = tdir.parent / ("_compacting_" + tdir.name)
+        old = tdir.parent / ("_retired_" + tdir.name)
+        shutil.rmtree(aside, ignore_errors=True)   # stale from a crash
+        shutil.rmtree(old, ignore_errors=True)
         files = list(tdir.glob("*.parquet"))
         nbytes = sum(f.stat().st_size for f in files)
         n = max(1, math.ceil(nbytes / target_bytes))
@@ -118,9 +135,7 @@ def compact_stage(spark: SparkSession, manifest: StageManifest, stage: str,
             total_new += len(files)
             continue
         df = spark.read.parquet(str(tdir))
-        aside = tdir.with_name(tdir.name + "._compact")
         df.repartition(n).write.mode("overwrite").parquet(str(aside))
-        old = tdir.with_name(tdir.name + "._old")
         os.replace(tdir, old)
         os.replace(aside, tdir)
         shutil.rmtree(old)

@@ -63,7 +63,8 @@ def test_sample_frames_fanout(spark):
     for r in got:
         by_id.setdefault(r["media_id"], []).append(
             (r["frame_idx"], r["frame_ts_ms"]))
-    assert sorted(by_id[1]) == [(0, 0), (1, 1000), (2, 2000)]
+    # every tick <= duration, t=0 included: 3500ms -> 0,1000,2000,3000
+    assert sorted(by_id[1]) == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
     assert by_id[2] == [(0, 0)]
     assert 3 not in by_id
 

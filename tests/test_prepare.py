@@ -92,11 +92,23 @@ def test_compact_stage_preserves_data_and_resume(spark, tmp_path):
     n_before = len(list(Path(man.path("s")).glob("*.parquet")))
     assert n_before >= 16
 
+    # stale temp dir from a simulated earlier crash must be swept, and
+    # its _-prefixed name is invisible to any parquet reader meanwhile
+    stale = Path(man.path("s")).parent / "_compacting_s"
+    stale.mkdir()
+    (stale / "junk.txt").write_text("crash leftover")
+
     n_after = compact_stage(spark, man, "s")
     assert n_after < n_before
+    assert not stale.exists()
     after = sorted(map(tuple, spark.read.parquet(man.path("s")).collect()))
     assert after == before
     assert man.done("s")
+    # and the compaction re-mark kept the original run_id (merge, not
+    # replace)
+    import json
+    entry = json.loads(man.manifest_path.read_text())["stages"]["s"]
+    assert entry.get("compacted") and "run_id" in entry
     # resume contract: write_stage still skips the compacted stage
     again = write_stage(man, "s", df.limit(1))
     assert again.count() == 1000

@@ -64,8 +64,7 @@ def test_lsh_hot_shingle_bucket_share_bounded(spark):
                        .alias("k", "h"))
            .withColumn("band", (F.col("k") / BAND_SIZE).cast("int")))
     bands = sig.groupBy("alias_norm", "band").agg(
-        F.concat_ws("", F.array_sort(
-            F.collect_list(F.struct("k", "h")).getField("h"))).alias("bh"))
+        F.concat_ws("", F.array_sort(F.collect_list("h"))).alias("bh"))
     max_bucket = (bands.groupBy("band", "bh").count()
                   .agg(F.max("count")).first()[0])
     assert max_bucket / n <= 0.05, max_bucket
