@@ -43,6 +43,36 @@ def test_tolerance_cutoff(spark):
     assert len(out) == 4      # tolerance nulls, never drops rows
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Independent reference: pandas.merge_asof (backward, exact matches
+    allowed) on randomized keyed series must agree row for row."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    lrows = [(i, f"u{rng.randint(4)}", _ts(int(rng.randint(0, 500))))
+             for i in range(120)]
+    # unique (key, ts) on the right — the operator's determinism contract
+    seen, rrows = set(), []
+    for i in range(80):
+        k = (f"u{rng.randint(4)}", int(rng.randint(0, 500)))
+        if k not in seen:
+            seen.add(k)
+            rrows.append((1000 + i, k[0], _ts(k[1])))
+    left = spark.createDataFrame(lrows, "lid int, user string, ts timestamp")
+    right = spark.createDataFrame(rrows, "rid int, user string, ts timestamp")
+
+    got = {r["lid"]: r["r_rid"]
+           for r in asof_join(left, right, on="user").collect()}
+
+    lp = pd.DataFrame(lrows, columns=["lid", "user", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["rid", "user", "ts"]).sort_values("ts")
+    merged = pd.merge_asof(lp, rp, on="ts", by="user", direction="backward")
+    want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in merged.itertuples()}
+    assert got == want and any(v is not None for v in got.values())
+
+
 def test_range_join_matches_naive_between(spark):
     from ner_extractor_spark.operators.asof import range_join
     left = spark.createDataFrame(
