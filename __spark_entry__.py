@@ -643,6 +643,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id",
                         hash_order(F.col("doc_id")).alias("h"))
 
+    def sample_mixture(spark, sf):
+        # data mixing: per-source dyadic fractions (exact in both
+        # engines), md5-rank selection — the training-mixture recipe
+        from ner_extractor_spark.operators.packing import mixture_sample
+        out = mixture_sample(_docs(spark, sf),
+                             {"src0": 0.5, "src1": 0.25,
+                              "src2": 1.0, "src3": 0.125})
+        return out.select("doc_id", "source")
+
+    def pack_bins(spark, sf):
+        # sequence packing: budget-quantized bins within md5 buckets;
+        # per-bin doc counts + token sums
+        from ner_extractor_spark.operators.packing import pack_sequences
+        p = pack_sequences(_docs(spark, sf), budget=500, n_buckets=16)
+        return (p.groupBy("bucket", "bin")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("tok_sum")))
+
     def augment_entities(spark, sf):
         # G1-G3: entity-aware augmentation over the kg mentions (no SQL
         # oracle — the splice walk is not reasonably SQL-expressible;
@@ -759,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_stratified": split_stratified,
         "split_group_fold": split_group_fold,
         "sample_deterministic": sample_deterministic,
+        "sample_mixture": sample_mixture,
+        "pack_bins": pack_bins,
         "set_ops": set_ops,
         "multimodal_resize": multimodal_resize,
         # rows-only checks (non-SQL-expressible; pinned by pytest instead)
@@ -1496,6 +1516,46 @@ SELECT doc_id,
        round(CAST(len(list_filter(tll, x -> x IN (""" + _SW_EN + r""")))
              AS DOUBLE) / len(tll), 6) AS stop_ratio_en
 FROM t""",
+
+        "sample_mixture": """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w(source, frac) AS (VALUES ('src0', 0.5), ('src1', 0.25),
+                           ('src2', 1.0), ('src3', 0.125)),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('42|' || CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source
+FROM r JOIN c USING (source) JOIN w USING (source)
+WHERE rk <= floor(CAST(frac AS DOUBLE) * n)""",
+
+        "pack_bins": r"""
+WITH t AS (
+  SELECT doc_id,
+         md5('42|' || CAST(doc_id AS VARCHAR)) AS h,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, h,
+         ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+          (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)) % 16 AS bucket
+  FROM t
+),
+cumu AS (
+  SELECT bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(floor((cum - n_tokens) / 500.0) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+FROM cumu GROUP BY 1, 2""",
 
         "multimodal_resize": """
 WITH m AS (

@@ -1,0 +1,74 @@
+"""Training-data assembly operators (build brief: the operations a
+large-scale training-data pipeline needs beyond the reference's scope):
+
+* ``mixture_sample`` — data mixing: keep a per-source fraction of
+  documents (the "30% web / 50% books / 20% code" recipe), chosen by a
+  deterministic md5 rank so the mixture is cluster-size invariant and
+  SQL-reproducible (same discipline as operators/splits.py).
+
+* ``pack_sequences`` — sequence packing: assign documents to
+  fixed-token-budget training bins.  Deterministic, shuffle-bounded
+  variant: documents are hashed into ``n_buckets`` independent streams,
+  md5-ordered within their stream, and BUDGET-QUANTIZED — a document
+  belongs to the bin where its running token count started, so a bin
+  may overflow by less than one document (the standard streaming-pack
+  tradeoff; an exact first-fit needs a sequential scan, which is what
+  the per-bucket parallelism bounds).  Window partitioning is per
+  bucket — NEVER a global orderBy window — so the operator scales with
+  n_buckets regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .splits import hash_order
+
+
+def mixture_sample(df: DataFrame, weights: Dict[str, float],
+                   key: str = "doc_id", group: str = "source",
+                   seed: int = 42) -> DataFrame:
+    """Per-group quota sampling: group g keeps floor(weights[g] * n_g)
+    rows (groups absent from ``weights`` are dropped); selection is the
+    smallest md5(seed|key) ranks, so re-runs and repartitions agree."""
+    w_expr = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    win = Window.partitionBy(group).orderBy(hash_order(F.col(key), seed))
+    counts = df.groupBy(group).agg(F.count(F.lit(1)).alias("_n"))
+    return (df.withColumn("_rk", F.row_number().over(win))
+            .join(counts, on=group)
+            .withColumn("_quota",
+                        F.floor(w_expr[F.col(group)] * F.col("_n")))
+            .filter(F.col("_rk") <= F.col("_quota"))
+            .drop("_rk", "_n", "_quota"))
+
+
+def pack_sequences(docs: DataFrame, budget: int, n_buckets: int = 16,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   seed: int = 42) -> DataFrame:
+    """Documents -> (bucket, bin, n_tokens) packing assignment.
+
+    bin = floor((running token sum before this doc) / budget) within the
+    document's md5-ordered bucket stream.  Deterministic and
+    engine-portable; per-bin token sums land in [budget, budget + max
+    doc) except the final partial bin.
+    """
+    from ..functions.text import token_count
+
+    # bucket from the first md5 byte (NOT xxhash64 — the md5 derivation
+    # is what the DuckDB oracle can recompute), stream order from the
+    # same hash's full value
+    d = (docs.select(F.col(id_col).alias("doc_id"),
+                     token_count(F.col(text_col)).alias("n_tokens"),
+                     hash_order(F.col(id_col), seed).alias("_h"))
+         .withColumn("bucket",
+                     F.pmod(F.conv(F.substring("_h", 1, 2), 16, 10)
+                            .cast("int"), F.lit(n_buckets))))
+    win = (Window.partitionBy("bucket").orderBy("_h")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(win)
+    return (d.withColumn("bin",
+                         F.floor((cum - F.col("n_tokens")) / budget)
+                         .cast("int"))
+            .select("doc_id", "bucket", "bin", "n_tokens"))
