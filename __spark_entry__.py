@@ -1541,8 +1541,10 @@ WITH t AS (
 ),
 b AS (
   SELECT doc_id, n_tokens, h,
-         ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
-          (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)) % 16 AS bucket
+         ((((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+            (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)) * 16 +
+            (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)) * 16 +
+            (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 16 AS bucket
   FROM t
 ),
 cumu AS (

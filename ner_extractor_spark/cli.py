@@ -54,15 +54,17 @@ def main(argv=None):
     # documented defaults, exactly like absent keys — except lang, where
     # explicit null/"" legitimately means "all languages"
     cfg_synth = cfg.get("synth")
-    synth_n = args.synth if args.synth is not None else int(cfg_synth or 0)
+    synth_n = args.synth if args.synth is not None \
+        else (0 if cfg_synth is None else int(cfg_synth))
     if args.lang is not None:
         lang_arg = args.lang
     elif "lang" in cfg:
         lang_arg = cfg["lang"] if cfg["lang"] is not None else "all"
     else:
         lang_arg = "en"
+    cfg_run = cfg.get("run_id")
     run_id = args.run_id if args.run_id is not None \
-        else (cfg.get("run_id") or "run0")
+        else ("run0" if cfg_run is None else str(cfg_run))
 
     spark = get_spark(app_name="kg-pipeline")
 

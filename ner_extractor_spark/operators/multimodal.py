@@ -126,8 +126,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     else int(r.duration_ms)
                 # every frame timestamp <= duration: floor(dur/every)+1
                 # (an ffmpeg fps-style sampler includes t=0 AND the last
-                # in-range tick — dur=2500,every=1000 -> 0,1000,2000)
-                n = dur // every_ms + 1
+                # in-range tick — dur=2500,every=1000 -> 0,1000,2000);
+                # max(1, ...) keeps the t=0 frame for corrupt/negative
+                # duration metadata
+                n = max(1, dur // every_ms + 1)
                 for i in range(n):
                     rows.append((r.media_id, i, i * every_ms,
                                  _fake_bytes(r.payload, f"frame|{i}")))

@@ -35,13 +35,13 @@ def mixture_sample(df: DataFrame, weights: Dict[str, float],
     smallest md5(seed|key) ranks, so re-runs and repartitions agree."""
     w_expr = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
     win = Window.partitionBy(group).orderBy(hash_order(F.col(key), seed))
-    counts = df.groupBy(group).agg(F.count(F.lit(1)).alias("_n"))
+    # the group count rides the row_number window's shuffle — no
+    # separate aggregate + join (same pattern as splits.stratified_split)
+    n_grp = F.count(F.lit(1)).over(Window.partitionBy(group))
     return (df.withColumn("_rk", F.row_number().over(win))
-            .join(counts, on=group)
-            .withColumn("_quota",
-                        F.floor(w_expr[F.col(group)] * F.col("_n")))
+            .withColumn("_quota", F.floor(w_expr[F.col(group)] * n_grp))
             .filter(F.col("_rk") <= F.col("_quota"))
-            .drop("_rk", "_n", "_quota"))
+            .drop("_rk", "_quota"))
 
 
 def pack_sequences(docs: DataFrame, budget: int, n_buckets: int = 16,
@@ -51,19 +51,25 @@ def pack_sequences(docs: DataFrame, budget: int, n_buckets: int = 16,
 
     bin = floor((running token sum before this doc) / budget) within the
     document's md5-ordered bucket stream.  Deterministic and
-    engine-portable; per-bin token sums land in [budget, budget + max
-    doc) except the final partial bin.
+    engine-portable; per-bin token sums land in (budget − max_doc,
+    budget + max_doc) — a boundary-straddling document overflows its own
+    bin AND eats into the next one's window — except the final partial
+    bin (bound pinned in tests/test_packing.py).  ``n_buckets`` must be
+    a power of two ≤ 65536 (the bucket value derives from 4 hex chars;
+    a non-divisor of 65536 would skew the streams).
     """
+    if n_buckets & (n_buckets - 1) or n_buckets > 65536:
+        raise ValueError("n_buckets must be a power of two <= 65536")
     from ..functions.text import token_count
 
-    # bucket from the first md5 byte (NOT xxhash64 — the md5 derivation
-    # is what the DuckDB oracle can recompute), stream order from the
-    # same hash's full value
+    # bucket from the first two md5 bytes (NOT xxhash64 — the md5
+    # derivation is what the DuckDB oracle can recompute), stream order
+    # from the same hash's full value
     d = (docs.select(F.col(id_col).alias("doc_id"),
                      token_count(F.col(text_col)).alias("n_tokens"),
                      hash_order(F.col(id_col), seed).alias("_h"))
          .withColumn("bucket",
-                     F.pmod(F.conv(F.substring("_h", 1, 2), 16, 10)
+                     F.pmod(F.conv(F.substring("_h", 1, 4), 16, 10)
                             .cast("int"), F.lit(n_buckets))))
     win = (Window.partitionBy("bucket").orderBy("_h")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -43,11 +43,13 @@ class StageManifest:
     def path(self, stage: str) -> str:
         return str(self.base / stage)
 
-    def mark(self, stage: str, **meta) -> None:
+    def mark(self, stage: str, fresh: bool = False, **meta) -> None:
+        """``fresh=True`` (a new stage commit) REPLACES the entry so no
+        stale metadata (e.g. an old ``compacted`` flag) survives a
+        re-write; the default MERGES, so a later mark (compaction) keeps
+        the run_id recorded at the commit."""
         m = self._load()
-        # MERGE with any existing entry: a later mark (e.g. compaction)
-        # must not drop the run_id recorded at the stage commit
-        prev = m["stages"].get(stage, {})
+        prev = {} if fresh else m["stages"].get(stage, {})
         m["stages"][stage] = {**prev, "path": self.path(stage),
                               "ts": time.time(), **meta}
         tmp = self.manifest_path.with_suffix(".tmp")
@@ -80,12 +82,45 @@ def write_stage(manifest: StageManifest, stage: str, df: DataFrame,
                 F.lit(run_id).alias("run_id"))
     )
     lineage.write.mode("append").parquet(str(manifest.base / "_lineage"))
-    manifest.mark(stage, run_id=run_id)
+    manifest.mark(stage, fresh=True, run_id=run_id)
     return persisted
 
 
 def read_lineage(spark: SparkSession, base_dir: str) -> DataFrame:
     return spark.read.parquet(str(Path(base_dir) / "_lineage"))
+
+
+def recover_stage(manifest: StageManifest, stage: str) -> None:
+    """Repair a stage directory after a compaction crash: every
+    ``_retired_X`` / ``_compacting_X`` leftover is resolved so ``X``
+    exists again and no hidden dirs remain.  Idempotent; see
+    ``compact_stage`` for the rename protocol that creates these."""
+    import shutil as _sh
+
+    def resolve(live: Path, aside: Path, ret: Path) -> None:
+        if not live.exists():
+            if aside.exists():               # aside write had completed:
+                os.replace(aside, live)      # promote the compacted copy
+            elif ret.exists():
+                os.replace(ret, live)        # restore the original
+        if aside.exists() and live.exists():
+            _sh.rmtree(aside)                # pre-rename crash leftover
+        if ret.exists() and live.exists():
+            _sh.rmtree(ret)                  # completed-swap leftover
+
+    base = Path(manifest.path(stage))
+    # whole-stage swap leftovers live NEXT TO the stage dir, scoped to
+    # this stage's name (never touch sibling stages); resolving them may
+    # be what brings `base` back into existence
+    resolve(base, base.parent / ("_compacting_" + base.name),
+            base.parent / ("_retired_" + base.name))
+    if base.exists():
+        names = {p.name[len("_retired_"):] for p in base.glob("_retired_*")}
+        names |= {p.name[len("_compacting_"):]
+                  for p in base.glob("_compacting_*")}
+        for n in names:
+            resolve(base / n, base / ("_compacting_" + n),
+                    base / ("_retired_" + n))
 
 
 def compact_stage(spark: SparkSession, manifest: StageManifest, stage: str,
@@ -106,11 +141,14 @@ def compact_stage(spark: SparkSession, manifest: StageManifest, stage: str,
 
     Crash posture: the aside/retired directories use ``_``-prefixed
     names, which every Spark/Hadoop reader treats as hidden — a crash
-    mid-compaction never pollutes partition discovery, and stale temp
-    dirs are cleaned on the next attempt.  A crash exactly between the
-    two renames leaves the data recoverable in ``_retired_*`` (a truly
-    atomic multi-directory swap is what Iceberg's snapshot commit
-    provides; this is the parquet-dir approximation).
+    mid-compaction never pollutes partition discovery.
+    ``recover_stage`` runs first on every attempt and repairs each
+    possible crash window: a complete ``_compacting_*`` with its live
+    dir missing is promoted; a ``_retired_*`` with its live dir missing
+    is restored; completed-swap leftovers are deleted.  Run
+    ``recover_stage`` after any unclean shutdown before reading the
+    stage (a truly atomic multi-directory swap is what Iceberg's
+    snapshot commit provides; this is the parquet-dir approximation).
     """
     import math
     import shutil
@@ -118,6 +156,7 @@ def compact_stage(spark: SparkSession, manifest: StageManifest, stage: str,
     out = Path(manifest.path(stage))
     if not manifest.done(stage):
         raise ValueError(f"stage {stage!r} is not complete; nothing to compact")
+    recover_stage(manifest, stage)
 
     part_dirs = [p for p in out.iterdir()
                  if p.is_dir() and "=" in p.name and not p.name.startswith("_")]
@@ -126,8 +165,6 @@ def compact_stage(spark: SparkSession, manifest: StageManifest, stage: str,
     for tdir in targets:
         aside = tdir.parent / ("_compacting_" + tdir.name)
         old = tdir.parent / ("_retired_" + tdir.name)
-        shutil.rmtree(aside, ignore_errors=True)   # stale from a crash
-        shutil.rmtree(old, ignore_errors=True)
         files = list(tdir.glob("*.parquet"))
         nbytes = sum(f.stat().st_size for f in files)
         n = max(1, math.ceil(nbytes / target_bytes))

@@ -112,3 +112,43 @@ def test_compact_stage_preserves_data_and_resume(spark, tmp_path):
     # resume contract: write_stage still skips the compacted stage
     again = write_stage(man, "s", df.limit(1))
     assert again.count() == 1000
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """Every compaction crash window must be repaired by recover_stage:
+    (a) rename #1 done, rename #2 not (live missing, aside+retired
+    present) -> compacted copy promoted; (b) retired-only (aside lost)
+    -> original restored; no hidden dirs survive either way."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from ner_extractor_spark.plans.checkpoints import (StageManifest,
+                                                       recover_stage,
+                                                       write_stage)
+
+    man = StageManifest(str(tmp_path / "stages"))
+    df = spark.range(300).selectExpr("id", "id % 5 as x")
+    write_stage(man, "s", df.repartition(8))
+    base = Path(man.path("s"))
+    before = sorted(map(tuple, spark.read.parquet(str(base)).collect()))
+
+    # (a) simulate crash between the two renames: live -> retired, and a
+    # complete compacted copy sits in the aside dir
+    aside = base.parent / "_compacting_s"
+    spark.read.parquet(str(base)).repartition(1).write.parquet(str(aside))
+    os.replace(base, base.parent / "_retired_s")
+    recover_stage(man, "s")
+    assert base.exists()
+    assert not (base.parent / "_retired_s").exists()
+    assert not aside.exists()
+    got = sorted(map(tuple, spark.read.parquet(str(base)).collect()))
+    assert got == before
+
+    # (b) retired-only window: aside never completed
+    os.replace(base, base.parent / "_retired_s")
+    recover_stage(man, "s")
+    assert base.exists()
+    assert sorted(map(tuple,
+                      spark.read.parquet(str(base)).collect())) == before
+    shutil.rmtree(str(tmp_path / "stages"), ignore_errors=True)
