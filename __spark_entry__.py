@@ -52,6 +52,7 @@ ALIASES = [
 ]
 
 ANN_QUERY_IDS = [1, 5, 9]
+CMS_TERMS = ["the", "and", "data", "spark", "zz-absent-term"]
 
 # ---------------------------------------------------------------------------
 # Spark-side shared builders
@@ -462,6 +463,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _docs(spark, sf).select(
             "doc_id", fingerprint(F.col("text")).alias("fp"))
 
+    def sketch_cms(spark, sf):
+        # deterministic count-min sketch (md5-keyed rows — the oracle
+        # rebuilds the sketch cell for cell); estimates for a fixed
+        # probe list, incl. an absent term
+        from ner_extractor_spark.operators.sketch import (build_cms,
+                                                          cms_estimate)
+        toks = _docs(spark, sf).select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            .alias("token"))
+        terms = spark.createDataFrame(
+            [(w,) for w in CMS_TERMS], "term string")
+        return cms_estimate(build_cms(toks), terms)
+
     def text_quality_filter(spark, sf):
         # Gopher-style hard-rule keep/drop with first-violation reason
         from ner_extractor_spark.functions.text import quality_filter
@@ -757,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": text_quality_filter,
         "text_repetition": text_repetition,
         "text_pii": text_pii,
+        "sketch_cms": sketch_cms,
         "text_fingerprint": text_fingerprint,
         "text_langid": text_langid,
         "text_lang_confusion": text_lang_confusion,
@@ -936,6 +951,14 @@ tri AS (
   FROM tpairs p JOIN toks t
     ON t.url = p.url AND t.sent_id = p.sent_id AND t.pos = p.ppos
 )"""
+
+
+def _hex4_fold_sql(hexpr: str) -> str:
+    """First-4-hex-chars -> int fold (mirrors operators/sketch._cell
+    and packing's bucket derivation)."""
+    nib = ("(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)")
+    n = [nib.format(h=hexpr, i=i) for i in (1, 2, 3, 4)]
+    return f"((({n[0]} * 16 + {n[1]}) * 16 + {n[2]}) * 16 + {n[3]})"
 
 
 def _viterbi_sql() -> str:
@@ -1628,6 +1651,28 @@ SELECT doc_id,
        len(regexp_extract_all(text, '""" + PII_PHONE + """')) AS n_phones,
        len(regexp_extract_all(text, '""" + PII_IPV4 + """')) AS n_ipv4
 FROM documents""",
+
+        "sketch_cms": f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+cells AS (
+  SELECT t.r,
+         {_hex4_fold_sql("md5(CAST(t.r AS VARCHAR) || '|' || token)")} % 1024 AS cell,
+         count(*) AS n
+  FROM tok, unnest(generate_series(0, 3)) t(r)
+  GROUP BY 1, 2
+),
+terms(term) AS (VALUES {", ".join(f"('{w}')" for w in CMS_TERMS)}),
+probes AS (
+  SELECT term, t.r,
+         {_hex4_fold_sql("md5(CAST(t.r AS VARCHAR) || '|' || term)")} % 1024 AS cell
+  FROM terms, unnest(generate_series(0, 3)) t(r)
+)
+SELECT p.term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est
+FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.cell = p.cell
+GROUP BY p.term""",
 
         "embed_pca_det": f"""
 WITH {EMB_FLAT_SQL},{_pca_det_sql(2, 8)}""",

@@ -1,0 +1,64 @@
+"""Count-min sketch over a token stream (build brief: custom operators
+Spark lacks — 'a novel sketch' — expressed as pure aggregations).
+
+A CMS is ``depth`` hash rows × ``width`` counters; an item's estimate is
+the MIN of its counters, an upper bound on the true count with error
+≤ εN at probability 1-δ (ε = e/width, δ = e^-depth; Cormode &
+Muthukrishnan 2005).  This implementation is DETERMINISTIC and
+engine-portable: row r's hash of token t is the first 4 hex chars of
+md5("r|t") folded to an int, mod width (width must divide 65536 so the
+fold stays uniform) — so the DuckDB oracle rebuilds the identical
+sketch cell for cell, which pseudo-random-seeded sketch libraries
+(e.g. Spark's own ``count_min_sketch`` function) cannot offer across
+engines.
+
+Shapes: building = one explode + one groupBy((row, cell)) — the sketch
+is depth×width rows regardless of corpus size (the whole point: a
+bounded summary of an unbounded stream, mergeable across partitions /
+days by cell-wise addition).  Querying = a broadcast join of the query
+terms against depth×|terms| cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEPTH = 4
+WIDTH = 1024
+
+
+def _cell(token_col, row: int, width: int):
+    h = F.md5(F.concat(F.lit(f"{row}|"), token_col))
+    return F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("int"),
+                  F.lit(width))
+
+
+def build_cms(tokens: DataFrame, token_col: str = "token",
+              depth: int = DEPTH, width: int = WIDTH) -> DataFrame:
+    """token rows -> (row, cell, n) sketch table (depth×width max rows).
+    Mergeable: union two sketches and re-sum on (row, cell)."""
+    if 65536 % width:
+        raise ValueError("width must divide 65536 (4-hex-char hash fold)")
+    rows = [tokens.select(F.lit(r).alias("row"),
+                          _cell(F.col(token_col), r, width).alias("cell"))
+            for r in range(depth)]
+    out = rows[0]
+    for more in rows[1:]:
+        out = out.unionByName(more)
+    return out.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_estimate(cms: DataFrame, terms: DataFrame,
+                 term_col: str = "term",
+                 depth: int = DEPTH, width: int = WIDTH) -> DataFrame:
+    """(term) rows -> (term, est): est = min over rows of the term's
+    counter — ≥ the true count, with the classic CMS error bound."""
+    keyed = terms.select(F.col(term_col).alias("term"))
+    probes = None
+    for r in range(depth):
+        p = keyed.select("term", F.lit(r).alias("row"),
+                         _cell(F.col("term"), r, width).alias("cell"))
+        probes = p if probes is None else probes.unionByName(p)
+    return (probes.join(cms, on=["row", "cell"], how="left")
+            .groupBy("term")
+            .agg(F.min(F.coalesce("n", F.lit(0))).alias("est")))

@@ -1,0 +1,49 @@
+"""Count-min sketch: overestimate guarantee, exactness at low load,
+mergeability, partition invariance."""
+
+from pyspark.sql import functions as F
+
+from ner_extractor_spark.operators.sketch import build_cms, cms_estimate
+
+
+def _tokens(spark, n=4000):
+    # zipf-ish: token t{k} appears ~n/(k+1) times
+    rows = []
+    k = 0
+    while len(rows) < n:
+        rows.extend([(f"t{k}",)] * max(1, n // (4 * (k + 1))))
+        k += 1
+    return spark.createDataFrame(rows[:n], "token string")
+
+
+def test_cms_upper_bound_and_low_load_exactness(spark):
+    toks = _tokens(spark)
+    cms = build_cms(toks)
+    true = {r["token"]: r["n"] for r in
+            toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()}
+    terms = spark.createDataFrame(
+        [(t,) for t in list(true)[:20]] + [("never-seen",)], "term string")
+    est = {r["term"]: r["est"] for r in cms_estimate(cms, terms).collect()}
+    for t, e in est.items():
+        assert e >= true.get(t, 0), (t, e)     # CMS never underestimates
+    # distinct tokens << width: collisions are rare enough that at least
+    # the heavy hitters estimate exactly
+    heavy = max(true, key=true.get)
+    assert est[heavy] == true[heavy]
+    assert est["never-seen"] <= max(true.values())
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    a, b = _tokens(spark, 1500), _tokens(spark, 2500)
+    merged = (build_cms(a).unionByName(build_cms(b))
+              .groupBy("row", "cell").agg(F.sum("n").alias("n")))
+    whole = build_cms(a.unionByName(b))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_cms_partition_invariance(spark):
+    toks = _tokens(spark)
+    x = sorted(map(tuple, build_cms(toks).collect()))
+    y = sorted(map(tuple, build_cms(toks.repartition(17)).collect()))
+    assert x == y
