@@ -1554,20 +1554,17 @@ SELECT r.doc_id, r.source
 FROM r JOIN c USING (source) JOIN w USING (source)
 WHERE rk <= floor(CAST(frac AS DOUBLE) * n)""",
 
-        "pack_bins": r"""
+        "pack_bins": f"""
 WITH t AS (
   SELECT doc_id,
          md5('42|' || CAST(doc_id AS VARCHAR)) AS h,
          CASE WHEN len(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
   FROM documents
 ),
 b AS (
   SELECT doc_id, n_tokens, h,
-         ((((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
-            (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)) * 16 +
-            (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)) * 16 +
-            (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 16 AS bucket
+         {_hex4_fold_sql("h")} % 16 AS bucket
   FROM t
 ),
 cumu AS (

@@ -55,7 +55,7 @@ def main(argv=None):
     # explicit null/"" legitimately means "all languages"
     cfg_synth = cfg.get("synth")
     synth_n = args.synth if args.synth is not None \
-        else (0 if cfg_synth is None else int(cfg_synth))
+        else (0 if cfg_synth in (None, "") else int(cfg_synth))
     if args.lang is not None:
         lang_arg = args.lang
     elif "lang" in cfg:
@@ -64,7 +64,7 @@ def main(argv=None):
         lang_arg = "en"
     cfg_run = cfg.get("run_id")
     run_id = args.run_id if args.run_id is not None \
-        else ("run0" if cfg_run is None else str(cfg_run))
+        else ("run0" if cfg_run in (None, "") else str(cfg_run))
 
     spark = get_spark(app_name="kg-pipeline")
 

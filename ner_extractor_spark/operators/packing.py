@@ -58,8 +58,8 @@ def pack_sequences(docs: DataFrame, budget: int, n_buckets: int = 16,
     a power of two ≤ 65536 (the bucket value derives from 4 hex chars;
     a non-divisor of 65536 would skew the streams).
     """
-    if n_buckets & (n_buckets - 1) or n_buckets > 65536:
-        raise ValueError("n_buckets must be a power of two <= 65536")
+    if n_buckets <= 0 or n_buckets & (n_buckets - 1) or n_buckets > 65536:
+        raise ValueError("n_buckets must be a power of two in [1, 65536]")
     from ..functions.text import token_count
 
     # bucket from the first two md5 bytes (NOT xxhash64 — the md5

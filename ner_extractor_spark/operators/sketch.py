@@ -39,13 +39,17 @@ def build_cms(tokens: DataFrame, token_col: str = "token",
     Mergeable: union two sketches and re-sum on (row, cell)."""
     if 65536 % width:
         raise ValueError("width must divide 65536 (4-hex-char hash fold)")
-    rows = [tokens.select(F.lit(r).alias("row"),
-                          _cell(F.col(token_col), r, width).alias("cell"))
-            for r in range(depth)]
-    out = rows[0]
-    for more in rows[1:]:
-        out = out.unionByName(more)
-    return out.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("n"))
+    # single pass: each token explodes into its depth (row, cell) pairs
+    # in one projection — a per-row union would rescan the (possibly
+    # expensive) upstream token pipeline depth times
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 _cell(F.col(token_col), r, width).alias("cell"))
+        for r in range(depth)])).alias("rc")
+    return (tokens.select(cells)
+            .groupBy(F.col("rc.row").alias("row"),
+                     F.col("rc.cell").alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n")))
 
 
 def cms_estimate(cms: DataFrame, terms: DataFrame,

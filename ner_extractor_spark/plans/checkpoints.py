@@ -66,6 +66,10 @@ def write_stage(manifest: StageManifest, stage: str, df: DataFrame,
     checkpoint (SURVEY §7.0)."""
     spark = df.sparkSession
     out = manifest.path(stage)
+    # repair any compaction-crash leftovers BEFORE the resume check: a
+    # stranded _retired_* partition is hidden from parquet readers, so
+    # an unrecovered resume would silently read a partial table
+    recover_stage(manifest, stage)
     if manifest.done(stage):
         return spark.read.parquet(out)
 
@@ -154,9 +158,11 @@ def compact_stage(spark: SparkSession, manifest: StageManifest, stage: str,
     import shutil
 
     out = Path(manifest.path(stage))
+    # recovery FIRST: a crash between the whole-stage renames leaves the
+    # live dir missing, which done() would misread as "not complete"
+    recover_stage(manifest, stage)
     if not manifest.done(stage):
         raise ValueError(f"stage {stage!r} is not complete; nothing to compact")
-    recover_stage(manifest, stage)
 
     part_dirs = [p for p in out.iterdir()
                  if p.is_dir() and "=" in p.name and not p.name.startswith("_")]
