@@ -15,6 +15,33 @@ import argparse
 import json
 
 
+def resolve_run_args(args, cfg: dict) -> dict:
+    """S6 precedence: CLI flags win; config supplies defaults;
+    present-but-null/empty YAML keys fall back to the documented
+    defaults exactly like absent keys — except ``lang``, where explicit
+    null/"" legitimately means "all languages".  Pure function (unit
+    tests: tests/test_config.py::test_resolve_run_args*)."""
+    cfg_paths = cfg.get("paths") or {}
+    pages_path = args.pages or (
+        str(cfg_paths["pages"]) if cfg_paths.get("pages") else None)
+    workdir = args.workdir or (
+        str(cfg_paths["workdir"]) if cfg_paths.get("workdir") else None)
+    cfg_synth = cfg.get("synth")
+    synth_n = args.synth if args.synth is not None \
+        else (0 if cfg_synth in (None, "") else int(cfg_synth))
+    if args.lang is not None:
+        lang_arg = args.lang
+    elif "lang" in cfg:
+        lang_arg = cfg["lang"] if cfg["lang"] is not None else "all"
+    else:
+        lang_arg = "en"
+    cfg_run = cfg.get("run_id")
+    run_id = args.run_id if args.run_id is not None \
+        else ("run0" if cfg_run in (None, "") else str(cfg_run))
+    return {"pages": pages_path, "workdir": workdir,
+            "synth": synth_n, "lang": lang_arg, "run_id": run_id}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="ner-extractor-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -43,28 +70,11 @@ def main(argv=None):
     if args.config:
         from ner_extractor_spark.config import load_config
         cfg = load_config(args.config)
-    cfg_paths = cfg.get("paths") or {}
-    pages_path = args.pages or (
-        str(cfg_paths["pages"]) if cfg_paths.get("pages") else None)
-    workdir = args.workdir or (
-        str(cfg_paths["workdir"]) if cfg_paths.get("workdir") else None)
+    run = resolve_run_args(args, cfg)
+    pages_path, workdir = run["pages"], run["workdir"]
+    synth_n, lang_arg, run_id = run["synth"], run["lang"], run["run_id"]
     if not workdir:
         p.error("--workdir (or config paths.workdir) is required")
-    # present-but-null YAML keys (e.g. "synth:") must fall back to the
-    # documented defaults, exactly like absent keys — except lang, where
-    # explicit null/"" legitimately means "all languages"
-    cfg_synth = cfg.get("synth")
-    synth_n = args.synth if args.synth is not None \
-        else (0 if cfg_synth in (None, "") else int(cfg_synth))
-    if args.lang is not None:
-        lang_arg = args.lang
-    elif "lang" in cfg:
-        lang_arg = cfg["lang"] if cfg["lang"] is not None else "all"
-    else:
-        lang_arg = "en"
-    cfg_run = cfg.get("run_id")
-    run_id = args.run_id if args.run_id is not None \
-        else ("run0" if cfg_run in (None, "") else str(cfg_run))
 
     spark = get_spark(app_name="kg-pipeline")
 

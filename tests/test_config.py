@@ -52,3 +52,40 @@ def test_load_errors(tmp_path):
     bad.write_text("- just\n- a list\n")
     with pytest.raises(ValueError):
         load_config(bad)
+
+
+def _args(**kw):
+    import argparse
+    d = {"pages": None, "synth": None, "workdir": None,
+         "lang": None, "run_id": None}
+    d.update(kw)
+    return argparse.Namespace(**d)
+
+
+def test_resolve_run_args_precedence_and_null_keys():
+    from ner_extractor_spark.cli import resolve_run_args
+
+    # flags always win over config
+    r = resolve_run_args(_args(synth=7, lang="de", run_id="rX", workdir="w"),
+                         {"synth": 99, "lang": "fr", "run_id": "rY",
+                          "paths": {"workdir": "other"}})
+    assert (r["synth"], r["lang"], r["run_id"], r["workdir"]) == \
+        (7, "de", "rX", "w")
+
+    # absent keys -> documented defaults
+    r = resolve_run_args(_args(), {})
+    assert (r["synth"], r["lang"], r["run_id"]) == (0, "en", "run0")
+
+    # present-but-null / empty keys behave like absent ones...
+    r = resolve_run_args(_args(), {"synth": None, "run_id": ""})
+    assert (r["synth"], r["run_id"]) == (0, "run0")
+    # ...EXCEPT lang, where explicit null means "all languages"
+    r = resolve_run_args(_args(), {"lang": None})
+    assert r["lang"] == "all"
+    # numeric-ish values survive coercion instead of truthiness traps
+    r = resolve_run_args(_args(), {"run_id": 0, "synth": "12"})
+    assert (r["run_id"], r["synth"]) == ("0", 12)
+
+    # paths section supplies pages/workdir when flags are absent
+    r = resolve_run_args(_args(), {"paths": {"pages": "/p", "workdir": "/w"}})
+    assert (r["pages"], r["workdir"]) == ("/p", "/w")
