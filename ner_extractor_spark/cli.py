@@ -94,8 +94,13 @@ def main(argv=None):
 
     from ner_extractor_spark.config import save_config
     try:
+        # read_pages dispatches on '/': with one it's a filesystem path
+        # (absolutize so the persisted config is CWD-independent); without
+        # it's a catalog table id — persist verbatim, never Path-mangled
+        pages_persist = (_Path(pages_path).resolve()
+                         if pages_path and "/" in pages_path else pages_path)
         save_config({
-            "paths": {"pages": _Path(pages_path).resolve() if pages_path else None,
+            "paths": {"pages": pages_persist or None,
                       "workdir": _Path(workdir).resolve()},
             "lang": lang_arg, "run_id": run_id, "synth": synth_n,
         }, _Path(workdir) / "config.yaml")

@@ -56,13 +56,37 @@ def cms_estimate(cms: DataFrame, terms: DataFrame,
                  term_col: str = "term",
                  depth: int = DEPTH, width: int = WIDTH) -> DataFrame:
     """(term) rows -> (term, est): est = min over rows of the term's
-    counter — ≥ the true count, with the classic CMS error bound."""
+    counter — ≥ the true count, with the classic CMS error bound.
+
+    depth/width MUST match the build's (the sketch table carries no
+    metadata): a mismatched probe hashes into the wrong cells and can
+    under-report below the true count, silently breaking the CMS
+    upper-bound guarantee.  The width fold check mirrors build_cms, and a
+    runtime bounds guard fails loudly when the sketch holds cells/rows
+    the probe's (depth, width) could never address — i.e. probe params
+    SMALLER than the build's.  (Probe params larger than the build's are
+    indistinguishable from empty counters in a sparse sketch; carry the
+    params out-of-band if that direction matters.)"""
+    if 65536 % width:
+        raise ValueError("width must divide 65536 (4-hex-char hash fold)")
     keyed = terms.select(F.col(term_col).alias("term"))
     probes = None
     for r in range(depth):
         p = keyed.select("term", F.lit(r).alias("row"),
                          _cell(F.col("term"), r, width).alias("cell"))
         probes = p if probes is None else probes.unionByName(p)
-    return (probes.join(cms, on=["row", "cell"], how="left")
-            .groupBy("term")
-            .agg(F.min(F.coalesce("n", F.lit(0))).alias("est")))
+    # bounds guard: one broadcast row over the (≤ depth×width-row) sketch
+    bounds = cms.agg(F.max("cell").alias("_bc"), F.max("row").alias("_br"))
+    est = (probes.join(cms, on=["row", "cell"], how="left")
+           .groupBy("term")
+           .agg(F.min(F.coalesce("n", F.lit(0))).alias("est")))
+    chk = F.when(
+        (F.col("_bc") >= width) | (F.col("_br") >= depth),
+        F.raise_error(F.concat(
+            F.lit("cms_estimate depth/width mismatch: sketch has cell "),
+            F.col("_bc").cast("string"), F.lit(" / row "),
+            F.col("_br").cast("string"),
+            F.lit(f", probe expects cell < {width} / row < {depth}"))),
+    ).otherwise(F.col("est"))
+    return (est.crossJoin(F.broadcast(bounds))
+            .select("term", chk.alias("est")))

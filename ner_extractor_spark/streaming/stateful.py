@@ -73,12 +73,14 @@ def domain_mention_stats(sentences: DataFrame, dictionary: dict,
             "batch_rows": batch_rows,
         }])
 
-    # regexp_extract returns '' (never null) on no match — map the empty
-    # string, not null, to the 'unknown' domain bucket
+    # regexp_extract returns '' on no match but NULL on null input — both
+    # must land in the 'unknown' domain bucket (a null group key would
+    # otherwise leak through as its own state group)
     extracted = F.regexp_extract("url", r"^[a-z]+://([^/#]+)", 1)
     with_domain = sentences.withColumn(
         "domain",
-        F.when(extracted == "", F.lit("unknown")).otherwise(extracted))
+        F.when(extracted.isNull() | (extracted == ""), F.lit("unknown"))
+        .otherwise(extracted))
     return (
         with_domain.groupBy("domain")
         .applyInPandasWithState(

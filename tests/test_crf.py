@@ -43,6 +43,31 @@ def test_viterbi_matches_bruteforce(p):
         path_score(best, em, tr, start, end)
 
 
+def test_viterbi_nondyadic_near_tie():
+    """Hypothesis-discovered regression (2026-08-16 patch, now folded in):
+    with NON-dyadic scores (2.999999999999999 vs 1.9 + 2.0 - 1.9 + ...)
+    the DP's and brute force's summation orders legitimately differ by
+    ulps and the argmax path can flip.  The decode contract for such
+    inputs is score-optimality up to float accumulation error — assert
+    isclose, not equality (the exact-equality property above is what the
+    dyadic strategy guarantees)."""
+    em = [[-1.0, -1.9, 0.0, 0.0],
+          [0.0, 0.0, 0.0, 2.999999999999999],
+          [0.0, 0.0, 0.0, 0.0],
+          [0.0, 0.0, 0.0, 0.0]]
+    tr = [[0.0, 0.0, 0.0, 0.0],
+          [0.0, 0.0, 0.0, 1.9],
+          [0.0, 2.0, 0.0, 0.0],
+          [0.0, 0.0, 0.0, 0.0]]
+    got = viterbi_decode(em, tr)
+    best = max(itertools.product(range(4), repeat=4),
+               key=lambda path: (path_score(path, em, tr),
+                                 tuple(-x for x in path)))
+    import math
+    assert math.isclose(path_score(got, em, tr),
+                        path_score(best, em, tr), rel_tol=1e-12)
+
+
 def test_tie_break_smallest_index():
     em = [[1.0, 1.0], [1.0, 1.0]]
     tr = [[0.0, 0.0], [0.0, 0.0]]

@@ -47,3 +47,22 @@ def test_cms_partition_invariance(spark):
     x = sorted(map(tuple, build_cms(toks).collect()))
     y = sorted(map(tuple, build_cms(toks.repartition(17)).collect()))
     assert x == y
+
+
+def test_cms_mismatched_probe_fails_loudly(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    toks = _tokens(spark)
+    cms = build_cms(toks, width=1024)
+    terms = spark.createDataFrame([("t0",)], "term string")
+    # probing with a smaller width than the build: the sketch holds cells
+    # the probe could never address -> runtime raise, never a silent
+    # under-estimate
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="depth/width mismatch"):
+        cms_estimate(cms, terms, width=256).collect()
+    # non-fold width rejected up front, same as build_cms
+    with pytest.raises(ValueError):
+        cms_estimate(cms, terms, width=1000)
