@@ -1424,16 +1424,22 @@ FROM documents d JOIN canon c ON c.node = d.doc_id""",
         "dedup_simhash": f"""
 WITH {_simhash_bits_sql(16)},
 keys AS (
+  -- pigeonhole blocking on max_hamming+1 = 3 segments of the 16-bit
+  -- fingerprint (sizes 6,5,5 — simhash_segments(16, 2)); mirrors
+  -- operators/dedup.simhash_block_pairs exactly
   SELECT doc_id,
-         'L' || b0||b1||b2||b3||b4||b5||b6||b7 AS lkey,
-         'R' || b8||b9||b10||b11||b12||b13||b14||b15 AS rkey,
+         'S0:' || b0||b1||b2||b3||b4||b5 AS k0,
+         'S1:' || b6||b7||b8||b9||b10 AS k1,
+         'S2:' || b11||b12||b13||b14||b15 AS k2,
          [b0,b1,b2,b3,b4,b5,b6,b7,b8,b9,b10,b11,b12,b13,b14,b15] AS bits
   FROM bits
 ),
 blocks AS (
-  SELECT doc_id, bits, lkey AS block FROM keys
+  SELECT doc_id, bits, k0 AS block FROM keys
   UNION ALL
-  SELECT doc_id, bits, rkey FROM keys
+  SELECT doc_id, bits, k1 FROM keys
+  UNION ALL
+  SELECT doc_id, bits, k2 FROM keys
 ),
 spairs AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.bits AS ba, y.bits AS bb

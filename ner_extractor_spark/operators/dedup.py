@@ -153,23 +153,43 @@ def simhash_bits_from(hexes_col, n_bits: int = 16):
     ])
 
 
-def simhash_dedup(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", n_bits: int = 16,
-                  max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on fingerprint halves (any pair
-    within hamming distance <= n_bits/2 shares at least one half — the
-    standard pigeonhole blocking), verify hamming <= max_hamming."""
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    fp = (docs.select(F.col(id_col).alias("id"),
-                      F.transform(toks, lambda t: F.md5(t)).alias("hexes"))
-          .select("id", simhash_bits_from(F.col("hexes"), n_bits).alias("bits")))
-    half = n_bits // 2
+def simhash_segments(n_bits: int, max_hamming: int) -> list:
+    """(1-based start, length) of the ``max_hamming + 1`` pigeonhole
+    segments, longest segments first.  With h diffs spread over h+1
+    segments, at least one segment is diff-free — that is the ONLY split
+    count with a recall guarantee at hamming ≤ h (2 halves guarantee
+    only hamming ≤ 1; round-2 shipped exactly that bug)."""
+    n_seg = max_hamming + 1
+    if n_seg > n_bits:
+        raise ValueError(f"max_hamming={max_hamming} needs {n_seg} segments "
+                         f"but the fingerprint has only {n_bits} bits")
+    base, rem = divmod(n_bits, n_seg)
+    bounds, start = [], 1
+    for i in range(n_seg):
+        ln = base + (1 if i < rem else 0)
+        bounds.append((start, ln))
+        start += ln
+    return bounds
+
+
+def simhash_block_pairs(fp: DataFrame, n_bits: int, max_hamming: int,
+                        id_col: str = "id",
+                        bits_col: str = "bits") -> DataFrame:
+    """Fingerprints -> verified near-dup pairs (a < b, hamming).
+
+    Blocking: split each fingerprint into ``max_hamming + 1`` contiguous
+    segments; by pigeonhole ANY pair within hamming ≤ max_hamming agrees
+    exactly on at least one whole segment, so bucketing on
+    (segment_index, segment_bits) has perfect recall for the contract.
+    The self-join key is high-cardinality (segment bitstrings), then the
+    exact hamming filter verifies candidates — never an n² cross join.
+    """
+    bounds = simhash_segments(n_bits, max_hamming)
     blocks = fp.select(
-        "id", "bits",
-        F.explode(F.array(
-            F.concat(F.lit("L"), F.concat_ws("", F.slice("bits", 1, half))),
-            F.concat(F.lit("R"), F.concat_ws("", F.slice("bits", half + 1, half))),
-        )).alias("block"),
+        F.col(id_col).alias("id"), F.col(bits_col).alias("bits"),
+        F.explode(F.array(*[
+            F.concat(F.lit(f"S{i}:"), F.concat_ws("", F.slice("bits", s, ln)))
+            for i, (s, ln) in enumerate(bounds)])).alias("block"),
     )
     a = blocks.select(F.col("id").alias("a"), F.col("bits").alias("ba"), "block")
     b = blocks.select(F.col("id").alias("b"), F.col("bits").alias("bb"), "block")
@@ -179,6 +199,20 @@ def simhash_dedup(docs: DataFrame, id_col: str = "doc_id",
     return (pairs.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming").distinct())
+
+
+def simhash_dedup(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n_bits: int = 16,
+                  max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash with pigeonhole blocking on
+    ``max_hamming + 1`` fingerprint segments (see simhash_block_pairs —
+    guaranteed recall for every pair within hamming ≤ max_hamming),
+    then exact hamming verification."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    fp = (docs.select(F.col(id_col).alias("id"),
+                      F.transform(toks, lambda t: F.md5(t)).alias("hexes"))
+          .select("id", simhash_bits_from(F.col("hexes"), n_bits).alias("bits")))
+    return simhash_block_pairs(fp, n_bits, max_hamming)
 
 
 def resolve_duplicates(docs: DataFrame, pairs: DataFrame,

@@ -47,10 +47,67 @@ def test_minhash_and_jaccard(spark):
 
 def test_simhash(spark):
     docs = _docs(spark)
-    pairs = simhash_dedup(docs, max_hamming=3)
-    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    # at max_hamming=2 the unrelated doc 4 (true hamming 3 from doc 1 on
+    # a coarse 16-bit fingerprint) stays out; exact/near dups collide
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_dedup(docs, max_hamming=2).collect()}
     assert got[(1, 5)] == 0 and got[(1, 2)] == 0
+    assert got[(1, 3)] == 1                       # near dup
     assert (1, 4) not in got
+    # max_hamming=3 DOES admit doc 4 — and the corrected blocking finds
+    # it (the round-2 two-half blocking silently dropped this pair: its
+    # recall guarantee stopped at hamming 1)
+    got3 = {(r["a"], r["b"]): r["hamming"]
+            for r in simhash_dedup(docs, max_hamming=3).collect()}
+    assert got3[(1, 4)] == 3
+
+
+def _bits_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, bits array<int>")
+
+
+def test_simhash_blocking_straddle_pair(spark):
+    """Adversarial recall fixture (VERDICT r02 #1): a hamming-2 pair with
+    one diff in EACH old half (bits 3 and 12) — the round-2 two-half
+    blocking silently missed it; 3-segment pigeonhole must find it."""
+    from ner_extractor_spark.operators.dedup import simhash_block_pairs
+
+    zeros = [0] * 16
+    straddle = list(zeros)
+    straddle[3] = 1          # old L half
+    straddle[12] = 1         # old R half
+    fp = _bits_df(spark, [(1, zeros), (2, straddle)])
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_block_pairs(fp, 16, max_hamming=2).collect()}
+    assert got == {(1, 2): 2}
+
+
+def test_simhash_blocking_recall_exhaustive(spark):
+    """Property pin for the pigeonhole contract: for seeded random 16-bit
+    fingerprints, the blocked pair set EQUALS the brute-force set of all
+    pairs with hamming ≤ max_hamming (recall is guaranteed, precision by
+    the verify filter)."""
+    import itertools
+    import random
+
+    from ner_extractor_spark.operators.dedup import simhash_block_pairs
+
+    rng = random.Random(7)
+    base = [rng.randint(0, 1) for _ in range(16)]
+    rows = [(0, base)]
+    for i in range(1, 24):
+        v = list(base)
+        for j in rng.sample(range(16), rng.randint(0, 4)):
+            v[j] ^= 1
+        rows.append((i, v))
+    for mh in (1, 2, 3):
+        want = {(a, b): sum(x != y for x, y in zip(va, vb))
+                for (a, va), (b, vb) in itertools.combinations(rows, 2)
+                if sum(x != y for x, y in zip(va, vb)) <= mh}
+        got = {(r["a"], r["b"]): r["hamming"]
+               for r in simhash_block_pairs(
+                   _bits_df(spark, rows), 16, max_hamming=mh).collect()}
+        assert got == want, (mh, got.keys() ^ want.keys())
 
 
 def test_embedding_near_dups_exact_and_lsh(spark):
