@@ -1546,18 +1546,24 @@ SELECT doc_id,
              AS DOUBLE) / len(tll), 6) AS stop_ratio_en
 FROM t""",
 
-        "sample_mixture": """
-WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        "sample_mixture": f"""
+WITH h AS (
+  -- per-(source, md5-bucket) streams, mirroring mixture_sample's
+  -- scale-safe windows (never a per-source-only partition)
+  SELECT doc_id, source, md5('42|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+),
+b AS (SELECT doc_id, source, hh, {_hex4_fold_sql("hh")} % 16 AS bkt FROM h),
+c AS (SELECT source, bkt, count(*) AS n FROM b GROUP BY source, bkt),
 w(source, frac) AS (VALUES ('src0', 0.5), ('src1', 0.25),
                            ('src2', 1.0), ('src3', 0.125)),
 r AS (
-  SELECT doc_id, source,
-         row_number() OVER (PARTITION BY source
-                            ORDER BY md5('42|' || CAST(doc_id AS VARCHAR))) AS rk
-  FROM documents
+  SELECT doc_id, source, bkt,
+         row_number() OVER (PARTITION BY source, bkt ORDER BY hh) AS rk
+  FROM b
 )
 SELECT r.doc_id, r.source
-FROM r JOIN c USING (source) JOIN w USING (source)
+FROM r JOIN c USING (source, bkt) JOIN w USING (source)
 WHERE rk <= floor(CAST(frac AS DOUBLE) * n)""",
 
         "pack_bins": f"""
