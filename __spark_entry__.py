@@ -492,6 +492,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.functions.text import pii_counts
         return _docs(spark, sf).select("doc_id", *pii_counts(F.col("text")))
 
+    def text_redact(spark, sf):
+        # PII redaction (VERDICT r02 #5): chained regexp_replace over the
+        # same patterns pii_counts counts; the value hash compares the
+        # full redacted text byte-for-byte vs DuckDB, and the residual
+        # counts ride along (zero on natural text)
+        from ner_extractor_spark.functions.text import pii_counts, redact_pii
+        red = _docs(spark, sf).select(
+            "doc_id", redact_pii(F.col("text")).alias("redacted"))
+        return red.select("doc_id", "redacted",
+                          *pii_counts(F.col("redacted")))
+
     def text_token_stats(spark, sf):
         # build brief token counting: whitespace + BPE-ish regex pieces,
         # plus the stopword-hit ratio used by the quality filter
@@ -771,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": text_quality_filter,
         "text_repetition": text_repetition,
         "text_pii": text_pii,
+        "text_redact": text_redact,
         "sketch_cms": sketch_cms,
         "text_fingerprint": text_fingerprint,
         "text_langid": text_langid,
@@ -1660,6 +1672,21 @@ SELECT doc_id,
        len(regexp_extract_all(text, '""" + PII_PHONE + """')) AS n_phones,
        len(regexp_extract_all(text, '""" + PII_IPV4 + """')) AS n_ipv4
 FROM documents""",
+
+        "text_redact": """
+WITH red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '""" + PII_EMAIL + """', '<EMAIL>', 'g'),
+             '""" + PII_IPV4 + """', '<IP>', 'g'),
+             '""" + PII_PHONE + """', '<PHONE>', 'g') AS redacted
+  FROM documents
+)
+SELECT doc_id, redacted,
+       len(regexp_extract_all(redacted, '""" + PII_EMAIL + """')) AS n_emails,
+       len(regexp_extract_all(redacted, '""" + PII_PHONE + """')) AS n_phones,
+       len(regexp_extract_all(redacted, '""" + PII_IPV4 + """')) AS n_ipv4
+FROM red""",
 
         "sketch_cms": f"""
 WITH tok AS (

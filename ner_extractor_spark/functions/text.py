@@ -160,8 +160,32 @@ PII_PATTERNS = {
 
 def pii_counts(col):
     """Per-document PII-ish pattern counts (emails / phone-shaped runs /
-    IPv4) — the scrubbing pre-pass of a training-data pipeline.  Counts
-    only (the redaction itself is regexp_replace with the same
-    patterns); patterns engine-portable for the oracle."""
+    IPv4) — the scrubbing pre-pass of a training-data pipeline.  The
+    redaction itself is redact_pii below (same patterns); patterns
+    engine-portable for the oracle."""
     return [F.size(F.regexp_extract_all(col, F.lit(p), F.lit(0))).alias(name)
             for name, p in PII_PATTERNS.items()]
+
+
+# redaction placeholders + a FIXED application order (emails before
+# phones so a phone-shaped digit run inside a mail local part is already
+# gone; ipv4 before phones so dotted quads never half-match as phones)
+PII_REDACTIONS = [
+    ("n_emails", "<EMAIL>"),
+    ("n_ipv4", "<IP>"),
+    ("n_phones", "<PHONE>"),
+]
+
+
+def redact_pii(col):
+    """Redact every PII match in place — the scrubber pii_counts's own
+    docstring promises.  A pure chained regexp_replace (JVM-side,
+    replaces ALL occurrences; the DuckDB oracle mirrors with the 'g'
+    flag).  Placeholder text contains no digits or '@', so one pass is a
+    fixed point on natural text (adversarial inputs like 'a@b.com@c.com'
+    can leave a residual local-part match — counts, not a crash; pinned
+    in tests)."""
+    out = col
+    for name, repl in PII_REDACTIONS:
+        out = F.regexp_replace(out, F.lit(PII_PATTERNS[name]), F.lit(repl))
+    return out

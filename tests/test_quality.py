@@ -82,3 +82,24 @@ def test_repetition_and_pii(spark):
            for r in df.select("doc_id", *pii_counts(F.col("text"))).collect()}
     assert pii[3][0] == 1 and pii[3][2] == 1
     assert pii[1] == (0, 0, 0)
+
+
+def test_redact_pii(spark):
+    from pyspark.sql import functions as F
+
+    from ner_extractor_spark.functions.text import pii_counts, redact_pii
+    rows = [
+        (1, "mail jo.doe@example.com or call +1 (555) 123-4567 ok"),
+        (2, "server at 10.0.12.34 answered"),
+        (3, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    red = df.select("doc_id", redact_pii(F.col("text")).alias("t"))
+    got = {r["doc_id"]: r["t"] for r in red.collect()}
+    assert got[1] == "mail <EMAIL> or call <PHONE> ok"
+    assert got[2] == "server at <IP> answered"
+    assert got[3] == rows[2][1]                    # untouched
+    # count-consistency: redaction is a fixed point on natural text —
+    # post-redaction counts are all zero
+    counts = red.select(*pii_counts(F.col("t"))).collect()
+    assert all(tuple(r) == (0, 0, 0) for r in counts)
