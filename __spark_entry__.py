@@ -324,6 +324,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.operators.ner import viterbi_tag_scores
         return viterbi_tag_scores(_sentences(spark, sf))
 
+    def kg_tag_linear(spark, sf):
+        # M1's full shape without torch (VERDICT r02 #4): tokenize
+        # (fake_word_ids, truncation) -> batched numpy matmul forward
+        # (md5-derived weights) -> Viterbi -> first-subword realign,
+        # all inside one mapInArrow stage; scores are dyadic so the
+        # recursive-CTE oracle matches bit for bit
+        from ner_extractor_spark.operators.ner import linear_tag_words
+        return linear_tag_words(_sentences(spark, sf))
+
     def kg_metrics_prf(spark, sf):
         pred = _mentions(spark, sf, GAZ)
         gold = _mentions(spark, sf, GAZ_GOLD)
@@ -762,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "graph_degree": graph_degree,
         "kg_viterbi_tags": kg_viterbi_tags,
+        "kg_tag_linear": kg_tag_linear,
         "kg_metrics_prf": kg_metrics_prf,
         "kg_metrics_per_type": kg_metrics_per_type,
         "kg_token_accuracy": kg_token_accuracy,
@@ -1020,6 +1030,84 @@ vlast AS (
 )"""
 
 
+def _linear_viterbi_sql(max_length: int = 24) -> str:
+    """Recursive-CTE replica of operators/ner.linear_tag_words — the full
+    tokenize (pieces + [CLS]/[SEP] + truncation) → linear forward (md5-
+    nibble features × md5-derived integer weights / 4096) → Viterbi →
+    first-subword realign pipeline, bit-identical (all scores dyadic)."""
+    from ner_extractor_spark.operators.ner import (VITERBI_TRANSITIONS,
+                                                   linear_tagger_weights)
+    T = [[int(v * 256) for v in row] for row in VITERBI_TRANSITIONS]
+    W = linear_tagger_weights(3)
+
+    def nib(i):
+        return ("(strpos('0123456789abcdef', "
+                f"substring(md5(x.sw), {i}, 1)) - 1)")
+
+    def em(k):
+        terms = " + ".join(f"{nib(f + 1)} * ({W[f][k]})" for f in range(4))
+        return f"(({terms}) / 4096.0)"
+
+    def step_score(j):
+        cands = ", ".join(f"d.s{i} + ({T[i][j]} / 256.0)" for i in range(3))
+        return f"greatest({cands}) + {em(j)}"
+
+    def step_path(j):
+        a = f"d.s0 + ({T[0][j]} / 256.0)"
+        b = f"d.s1 + ({T[1][j]} / 256.0)"
+        c = f"d.s2 + ({T[2][j]} / 256.0)"
+        return (f"CASE WHEN {a} >= {b} AND {a} >= {c} THEN d.p0 "
+                f"WHEN {b} >= {c} THEN d.p1 ELSE d.p2 END || ',{j}'")
+
+    ml = max_length
+    return f""",
+swraw AS (
+  SELECT url, sent_id, pos, t.j - 1 AS piece,
+         CASE WHEN t.j = 1 THEN tok
+              ELSE tok || '##' || CAST(t.j - 1 AS VARCHAR) END AS sw
+  FROM toks, unnest(generate_series(1, 1 + len(tok) // 4)) t(j)
+),
+swpos AS (
+  SELECT url, sent_id, pos, piece, sw,
+         CAST(row_number() OVER (PARTITION BY url, sent_id
+                                 ORDER BY pos, piece) AS INT) AS sp
+  FROM swraw
+),
+subs AS (
+  SELECT url, sent_id, 0 AS sp, '[CLS]' AS sw, FALSE AS fw FROM sents
+  UNION ALL
+  SELECT url, sent_id, sp, sw, piece = 0 FROM swpos WHERE sp <= {ml - 2}
+  UNION ALL
+  SELECT url, sent_id, least(mx + 1, {ml - 1}), '[SEP]', FALSE
+  FROM (SELECT url, sent_id, max(sp) AS mx FROM swpos GROUP BY url, sent_id)
+),
+ldp(url, sent_id, t, s0, s1, s2, p0, p1, p2) AS (
+  SELECT x.url, x.sent_id, 0,
+         {em(0)}, {em(1)}, {em(2)},
+         '0', '1', '2'
+  FROM subs x WHERE x.sp = 0
+  UNION ALL
+  SELECT d.url, d.sent_id, d.t + 1,
+         {step_score(0)}, {step_score(1)}, {step_score(2)},
+         {step_path(0)}, {step_path(1)}, {step_path(2)}
+  FROM ldp d JOIN subs x
+    ON x.url = d.url AND x.sent_id = d.sent_id AND x.sp = d.t + 1
+),
+llast AS (
+  SELECT d.* FROM ldp d
+  JOIN (SELECT url, sent_id, max(sp) AS mx FROM subs GROUP BY url, sent_id) m
+    ON m.url = d.url AND m.sent_id = d.sent_id AND d.t = m.mx
+),
+lbest AS (
+  SELECT url, sent_id,
+         CASE WHEN s0 >= s1 AND s0 >= s2 THEN p0
+              WHEN s1 >= s2 THEN p1 ELSE p2 END AS path,
+         CASE WHEN s0 >= s1 AND s0 >= s2 THEN s0
+              WHEN s1 >= s2 THEN s1 ELSE s2 END AS score
+  FROM llast
+)"""
+
+
 def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
     """Unrolled deterministic PageRank (mirrors operators/graph.pagerank
     step for step); requires an ``edges(src, dst)`` CTE.  Damping
@@ -1252,6 +1340,17 @@ SELECT url, sent_id,
        CASE WHEN s0 >= s1 AND s0 >= s2 THEN s0
             WHEN s1 >= s2 THEN s1 ELSE s2 END AS score
 FROM vlast""",
+
+        "kg_tag_linear": f"""
+WITH RECURSIVE {TOKS_SQL}{_linear_viterbi_sql()}
+SELECT b.url, b.sent_id,
+       string_agg(string_split(b.path, ',')[s.sp + 1], ','
+                  ORDER BY s.sp) AS word_tags,
+       CAST(count(*) AS INT) AS n_words,
+       b.score AS score
+FROM lbest b
+JOIN subs s ON s.url = b.url AND s.sent_id = b.sent_id AND s.fw
+GROUP BY b.url, b.sent_id, b.score""",
 
         "graph_pagerank": f"""
 WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
