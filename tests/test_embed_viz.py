@@ -61,6 +61,20 @@ def test_pca_deterministic_matches_numpy(spark):
     assert abs(np.dot(x0, x1)) < 1e-3
 
 
+def test_pca_outer_product_path_identical(spark):
+    """The web-scale covariance path (per-partition XᵀX via mapInArrow)
+    must produce the IDENTICAL pca_deterministic output as the explode
+    path: both covariance sums round to 6 decimals before any consumer,
+    so the summation-order difference vanishes there (VERDICT r02 #6)."""
+    from ner_extractor_spark.operators.embed_viz import pca_deterministic
+    d = _emb(spark).repartition(7)    # several partitions -> several partials
+    a = sorted(map(tuple, pca_deterministic(d, n_components=2,
+                                            n_iter=8).collect()))
+    b = sorted(map(tuple, pca_deterministic(
+        d, n_components=2, n_iter=8, outer_product=True).collect()))
+    assert a == b
+
+
 def test_kmeans_deterministic_clusters(spark):
     """Deterministic Lloyd's recovers the three separated blobs and is
     partition-layout invariant."""
