@@ -15,6 +15,9 @@ cartesian, no range self-join.
 Determinism contract: the right side must be unique per (key, ts) —
 pre-aggregate (e.g. ``max_by`` per key+ts) otherwise; with duplicates
 the window order among equal right rows is unspecified.
+``asof_join(..., strict=True)`` turns a contract violation into a loud
+runtime error instead of an unspecified match, at zero extra shuffle
+(the duplicate probe rides the same key-partitioned window).
 """
 
 from __future__ import annotations
@@ -28,10 +31,17 @@ def asof_join(left: DataFrame, right: DataFrame,
               on: Union[str, Sequence[str]],
               left_ts: str = "ts", right_ts: str = "ts",
               right_prefix: str = "r_",
-              tolerance_s: int | None = None) -> DataFrame:
+              tolerance_s: int | None = None,
+              strict: bool = False) -> DataFrame:
     """Returns every left row + the matched right row's payload columns
     (prefixed), nulls when nothing precedes it (left-join semantics) or
-    when the match is older than ``tolerance_s`` seconds."""
+    when the match is older than ``tolerance_s`` seconds.
+
+    ``strict=True`` enforces the right-side (key, ts) uniqueness
+    precondition at runtime: duplicate right rows sort adjacent in the
+    window order, so a lag() probe inside the SAME window partition
+    detects them for free and ``raise_error`` fails the job loudly
+    instead of returning an unspecified match."""
     keys: List[str] = [on] if isinstance(on, str) else list(on)
     lcols = list(left.columns)
     rpay = [c for c in right.columns if c not in keys]
@@ -52,7 +62,19 @@ def asof_join(left: DataFrame, right: DataFrame,
 
     w = (Window.partitionBy(*keys).orderBy("_ts", "_lft")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    u = l.unionByName(r).withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    rcol = F.col("_r")
+    if strict:
+        # equal-(key, ts) right rows are adjacent under (ts, side) order;
+        # folding the probe into the matched value keeps Catalyst from
+        # pruning it and reuses the window's exchange
+        ow = Window.partitionBy(*keys).orderBy("_ts", "_lft")
+        dup = ((F.col("_lft") == 0) & (F.lag("_lft").over(ow) == 0)
+               & (F.lag("_ts").over(ow) == F.col("_ts")))
+        rcol = F.when(dup, F.raise_error(F.concat(
+            F.lit("asof_join strict: right side has duplicate rows per "
+                  "(key, ts) at ts="), F.col("_ts").cast("string"),
+            F.lit(" — pre-aggregate the right side")))).otherwise(rcol)
+    u = l.unionByName(r).withColumn("_m", F.last(rcol, ignorenulls=True).over(w))
 
     matched = F.col("_m")
     if tolerance_s is not None:

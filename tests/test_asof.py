@@ -33,6 +33,28 @@ def test_backward_inclusive_and_left_nulls(spark):
     assert out[4] is None     # other key's rows never leak across
 
 
+def test_strict_duplicate_right_fails_loudly(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    left, right = _frames(spark)
+    # clean right side: strict output == default output
+    a = sorted(map(tuple, asof_join(left, right, on="user").collect()))
+    b = sorted(map(tuple,
+                   asof_join(left, right, on="user", strict=True).collect()))
+    assert a == b
+    # duplicated (key, ts) on the right: default silently picks one,
+    # strict raises
+    dup = right.unionByName(
+        spark.createDataFrame([(999, "u", _ts(25))],
+                              "rid int, user string, ts timestamp"))
+    assert asof_join(left, dup, on="user").count() == 4
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="duplicate"):
+        asof_join(left, dup, on="user", strict=True).collect()
+
+
 def test_tolerance_cutoff(spark):
     left, right = _frames(spark)
     out = {r["lid"]: r["r_rid"]
