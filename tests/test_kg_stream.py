@@ -38,6 +38,45 @@ def test_kg_stream_matches_batch_and_resumes(spark, tmp_path):
     assert spark.read.parquet(f"{out}/triples_raw").count() == len(s)
 
 
+def test_kg_stream_replayed_batch_is_idempotent(spark, tmp_path):
+    """Crash-window recovery (VERDICT r02 #8): foreachBatch is
+    at-least-once — simulate a crash AFTER a batch's triples landed but
+    BEFORE its streaming checkpoint commit, exactly like
+    plans/checkpoints.py's recovery windows are tested.  On restart
+    Spark replays that epoch with the same batch_id; the per-batch
+    mode('overwrite') partition must absorb the replay with zero
+    duplicate triples."""
+    pages = spark.createDataFrame(synth.pages_rows(synth.gold_corpus(40)),
+                                  schema=PAGES)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
+    pages.repartition(2).write.parquet(src)
+
+    gaz = synth.tagger_dictionary()
+    run_kg_stream(read_pages_stream(spark, src), gaz, out, str(ckpt),
+                  lang=None)
+    expected = sorted(map(tuple,
+                          spark.read.parquet(f"{out}/triples_raw").collect()))
+    assert expected
+
+    # crash simulation: the epoch's output exists, its commit does not
+    commits = sorted((p for p in (ckpt / "commits").iterdir()
+                      if p.name.isdigit()), key=lambda p: int(p.name))
+    commits[-1].unlink()
+    crc = ckpt / "commits" / f".{commits[-1].name}.crc"
+    if crc.exists():          # drop the local-FS checksum shadow too
+        crc.unlink()
+
+    run_kg_stream(read_pages_stream(spark, src), gaz, out, str(ckpt),
+                  lang=None)
+    replayed = sorted(map(tuple,
+                          spark.read.parquet(f"{out}/triples_raw").collect()))
+    assert replayed == expected           # replay absorbed, no duplicates
+    # and the commit is restored, so a further resume is a clean no-op
+    assert (ckpt / "commits" / commits[-1].name).exists()
+
+
 def test_dedup_pages_stream_drops_watermark_window_dups(spark, tmp_path):
     pages = spark.createDataFrame(synth.pages_rows(synth.gold_corpus(10)),
                                   schema=PAGES)
