@@ -755,23 +755,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         small = d.filter("doc_id < 50").select("doc_id")
         return en.union(de).exceptAll(small)
 
+    # ORDER IS A CONTRACT (VERDICT r02 #3): the driver samples ~50 of
+    # these entries from the front.  New-this-round and never-driver-
+    # checked queries lead; unchanged relational rows that were already
+    # driver-green in r02 (and stay locally verified by
+    # scripts/check_oracle.py) sit past the sampling window, followed by
+    # the rows-only entries.
     return {
+        # -- new / changed this round --------------------------------
+        "text_redact": text_redact,
+        "kg_tag_linear": kg_tag_linear,
+        "dedup_simhash": dedup_simhash,
+        "sample_mixture": sample_mixture,
+        # -- oracle-eligible entries the driver has never sampled ----
+        "pack_bins": pack_bins,
+        "agg_percentiles": agg_percentiles,
+        "agg_rollup": agg_rollup,
+        "multimodal_resize": multimodal_resize,
+        "kfold_metric_summary": kfold_metric_summary,
+        "split_stratified": split_stratified,
+        "split_group_fold": split_group_fold,
+        "sample_deterministic": sample_deterministic,
+        "set_ops": set_ops,
+        "join_asof": join_asof,
+        "join_range": join_range,
+        # -- core KG / dedup / graph / embeddings / streaming --------
         "kg_extract_sentences": kg_extract_sentences,
         "kg_tokenize": kg_tokenize,
         "kg_mentions": kg_mentions,
-        "kg_mention_counts": kg_mention_counts,
-        "kg_surface_topk": kg_surface_topk,
-        "kg_label_vocab": kg_label_vocab,
-        "kg_entity_pool": kg_entity_pool,
         "kg_primary_label": kg_primary_label,
-        "kg_sentence_stats": kg_sentence_stats,
-        "text_word_freq": text_word_freq,
         "kg_triples": kg_triples,
         "kg_link_alias": kg_link_alias,
         "graph_pagerank": graph_pagerank,
         "graph_degree": graph_degree,
         "kg_viterbi_tags": kg_viterbi_tags,
-        "kg_tag_linear": kg_tag_linear,
         "kg_metrics_prf": kg_metrics_prf,
         "kg_metrics_per_type": kg_metrics_per_type,
         "kg_token_accuracy": kg_token_accuracy,
@@ -780,44 +797,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_jaccard": dedup_jaccard,
         "dedup_resolve": dedup_resolve,
-        "dedup_simhash": dedup_simhash,
         "embedding_near_dups": embedding_near_dups_q,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embed_homogeneity": embed_homogeneity,
         "embed_kmeans_det": embed_kmeans_det,
         "embed_pca_det": embed_pca_det,
+        "sketch_cms": sketch_cms,
+        "stream_window_counts": stream_window_counts,
         "text_quality": text_quality,
         "text_token_stats": text_token_stats,
         "text_quality_filter": text_quality_filter,
         "text_repetition": text_repetition,
         "text_pii": text_pii,
-        "text_redact": text_redact,
-        "sketch_cms": sketch_cms,
-        "text_fingerprint": text_fingerprint,
         "text_langid": text_langid,
+        "sessionize": sessionize,
+        "window_running_value": window_running_value,
+        "window_top3_per_user": window_top3_per_user,
+        "topk_event_types": topk_event_types,
+        # -- unchanged r02-green relational/simple rows (past the
+        #    sampling window; still covered by check_oracle locally) --
+        "kg_mention_counts": kg_mention_counts,
+        "kg_surface_topk": kg_surface_topk,
+        "kg_label_vocab": kg_label_vocab,
+        "kg_entity_pool": kg_entity_pool,
+        "kg_sentence_stats": kg_sentence_stats,
+        "text_word_freq": text_word_freq,
+        "text_fingerprint": text_fingerprint,
         "text_lang_confusion": text_lang_confusion,
         "text_lang_pivot": text_lang_pivot,
         "agg_pricing_summary": agg_pricing_summary,
         "join_orders_nation": join_orders_nation,
-        "window_running_value": window_running_value,
-        "window_top3_per_user": window_top3_per_user,
-        "topk_event_types": topk_event_types,
-        "sessionize": sessionize,
         "json_extract_props": json_extract_props,
-        "join_asof": join_asof,
-        "join_range": join_range,
-        "stream_window_counts": stream_window_counts,
-        "agg_percentiles": agg_percentiles,
-        "agg_rollup": agg_rollup,
-        "kfold_metric_summary": kfold_metric_summary,
-        "split_stratified": split_stratified,
-        "split_group_fold": split_group_fold,
-        "sample_deterministic": sample_deterministic,
-        "sample_mixture": sample_mixture,
-        "pack_bins": pack_bins,
-        "set_ops": set_ops,
-        "multimodal_resize": multimodal_resize,
         # rows-only checks (non-SQL-expressible; pinned by pytest instead)
         "augment_entities": augment_entities,
         "embed_kmeans": embed_kmeans,
