@@ -54,6 +54,32 @@ def test_link_exact_ambiguity_deterministic(spark):
     assert ("u", 1, 0) not in rows
     un = unlinked(mentions, aliases).collect()
     assert [r["surface"] for r in un] == ["Unknown Co"]
+    # tie on prior -> min entity_id wins (pin the full tie-break chain)
+    tied = aliases.unionByName(spark.createDataFrame(
+        [("globex", "Q-0", "ORG", 1.0)], ALIASES))
+    rows2 = {(r["url"], r["sent_id"], r["start"]): r["entity_id"]
+             for r in link_exact(mentions, tied).collect()}
+    assert rows2[("u", 0, 0)] == "Q-0"
+
+
+def test_link_exact_probe_side_is_shuffle_free(spark):
+    """Scale pin (BENCH r03 finding): disambiguation happens on the
+    broadcast alias side, so the corpus side of link_exact must reach
+    the join without any Exchange or Window — the round-2 per-mention
+    window shuffled the whole corpus."""
+    aliases = spark.createDataFrame(
+        [("globex", "Q-1", "ORG", 1.0)], ALIASES)
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, 0, "Globex", "ORG")], MEN)
+    plan = link_exact(mentions, aliases)._jdf.queryExecution() \
+        .executedPlan().toString()
+    jpos = plan.find("BroadcastHashJoin")
+    assert jpos != -1, plan
+    # the probe (left/streamed) side is printed AFTER the join node and
+    # BEFORE the broadcast exchange of the build side
+    probe = plan[jpos:plan.find("BroadcastExchange")]
+    assert "Window" not in probe, plan
+    assert "Exchange hashpartitioning" not in probe, plan
 
 
 def test_lsh_candidates_find_typo(spark):
