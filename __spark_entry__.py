@@ -720,16 +720,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("cluster", "n"))
 
     def multimodal_features(spark, sf):
-        # binary-column plumbing: html bytes -> deterministic features
+        # binary-column plumbing: html bytes -> deterministic features.
+        # ORACLE-CHECKED since r03: the fake encoder is md5(payload)
+        # bytes / 255, which DuckDB recomputes from the same html string
+        # — only the real encoder kernel stays env-gated.  media_id is
+        # the md5-folded url (xxhash64 is not engine-portable).
         from ner_extractor_spark.operators.multimodal import extract_features
         media = _pages(spark, sf).select(
-            F.xxhash64("url").alias("media_id"),
+            F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10)
+            .cast("long").alias("media_id"),
             F.lit("image").alias("kind"),
             F.col("html").alias("payload"))
         f = extract_features(media)
+        # NO round: 8 float32-quantized terms sum EXACTLY in double (27
+        # mantissa bits needed), so the raw double is bit-identical in
+        # both engines — a decimal round would reintroduce half-boundary
+        # divergence between the engines' round implementations
         return f.select("media_id", "kind",
-                        F.round(F.aggregate("feature", F.lit(0.0),
-                                            lambda a, v: a + v), 6)
+                        F.aggregate("feature", F.lit(0.0),
+                                    lambda a, v: a + v)
                         .alias("feature_sum"))
 
     def multimodal_resize(spark, sf):
@@ -767,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tag_linear": kg_tag_linear,
         "dedup_simhash": dedup_simhash,
         "sample_mixture": sample_mixture,
+        "multimodal_features": multimodal_features,   # oracle-checked r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -832,7 +842,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only checks (non-SQL-expressible; pinned by pytest instead)
         "augment_entities": augment_entities,
         "embed_kmeans": embed_kmeans,
-        "multimodal_features": multimodal_features,
     }
 
 
@@ -992,6 +1001,29 @@ def _hex4_fold_sql(hexpr: str) -> str:
     nib = ("(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)")
     n = [nib.format(h=hexpr, i=i) for i in (1, 2, 3, 4)]
     return f"((({n[0]} * 16 + {n[1]}) * 16 + {n[2]}) * 16 + {n[3]})"
+
+
+def _mm_feature_terms(dim: int = 8) -> str:
+    """The fake media encoder's byte terms (mirrors
+    operators/multimodal.fake_feature): md5-digest byte i / 255.  The
+    feature column is array<float>, so each term is float32-quantized
+    (CAST AS REAL) BEFORE the double accumulation — exactly what Spark's
+    F.aggregate over a float array does."""
+    return " + ".join(
+        f"CAST((((strpos('0123456789abcdef', substring(ph, {2 * i + 1}, 1)) - 1)"
+        f" * 16 + (strpos('0123456789abcdef', substring(ph, {2 * i + 2}, 1)) - 1)"
+        f") / 255.0) AS REAL)" for i in range(dim))
+
+
+def _hexn_fold_sql(hexpr: str, n: int) -> str:
+    """First-n-hex-chars -> integer fold (generalizes _hex4_fold_sql;
+    n ≤ 15 keeps the value inside a signed 64-bit range, matching
+    Spark's conv(substring(h, 1, n), 16, 10) cast to long)."""
+    nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    expr = nib.format(h=hexpr, i=1)
+    for i in range(2, n + 1):
+        expr = f"({expr} * 16 + {nib.format(h=hexpr, i=i)})"
+    return expr
 
 
 def _viterbi_sql() -> str:
@@ -1727,6 +1759,18 @@ SELECT media_id,
        CASE WHEN scale < 1 THEN greatest(1, CAST(floor(h * scale) AS INT))
             ELSE h END AS out_height
 FROM s""",
+
+        "multimodal_features": f"""
+WITH {PAGES_SQL},
+m AS (
+  SELECT md5(url) AS uh,
+         md5('<html><body><p>' || text || '</p></body></html>') AS ph
+  FROM pages
+)
+SELECT CAST({_hexn_fold_sql("uh", 15)} AS BIGINT) AS media_id,
+       'image' AS kind,
+       CAST(0.0 AS DOUBLE) + {_mm_feature_terms()} AS feature_sum
+FROM m""",
 
         "text_quality_filter": r"""
 WITH t AS (
