@@ -696,10 +696,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("n_tokens").alias("tok_sum")))
 
     def augment_entities(spark, sf):
-        # G1-G3: entity-aware augmentation over the kg mentions (no SQL
-        # oracle — the splice walk is not reasonably SQL-expressible;
-        # driver records the rows-only check; semantics pinned in
-        # tests/test_augment.py)
+        # G1-G3: entity-aware augmentation over the kg mentions.
+        # ORACLE-CHECKED since r03: every stochastic choice is md5-keyed
+        # (SQL-reproducible), and the splice walk re-expresses as a
+        # per-piece reconstruction (kept tokens + replacement pieces
+        # ordered by position) — semantics also pinned in
+        # tests/test_augment.py
         from ner_extractor_spark.operators.augment import \
             entity_aware_augmentation
         tagged = _tagged(spark, sf)
@@ -777,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "sample_mixture": sample_mixture,
         "multimodal_features": multimodal_features,   # oracle-checked r03
+        "augment_entities": augment_entities,         # oracle-checked r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -839,8 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": agg_pricing_summary,
         "join_orders_nation": join_orders_nation,
         "json_extract_props": json_extract_props,
-        # rows-only checks (non-SQL-expressible; pinned by pytest instead)
-        "augment_entities": augment_entities,
+        # rows-only check: MLlib KMeans' internal numerics have no
+        # cross-engine oracle by nature (the deterministic twin
+        # embed_kmeans_det IS oracle-checked); pinned by pytest instead
         "embed_kmeans": embed_kmeans,
     }
 
@@ -1015,13 +1019,14 @@ def _mm_feature_terms(dim: int = 8) -> str:
         f") / 255.0) AS REAL)" for i in range(dim))
 
 
-def _hexn_fold_sql(hexpr: str, n: int) -> str:
-    """First-n-hex-chars -> integer fold (generalizes _hex4_fold_sql;
-    n ≤ 15 keeps the value inside a signed 64-bit range, matching
-    Spark's conv(substring(h, 1, n), 16, 10) cast to long)."""
+def _hexn_fold_sql(hexpr: str, n: int, start: int = 1) -> str:
+    """n-hex-chars-from-``start`` -> integer fold (generalizes
+    _hex4_fold_sql; n ≤ 15 keeps the value inside a signed 64-bit range,
+    matching Spark's conv(substring(h, start, n), 16, 10) cast to
+    long)."""
     nib = "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
-    expr = nib.format(h=hexpr, i=1)
-    for i in range(2, n + 1):
+    expr = nib.format(h=hexpr, i=start)
+    for i in range(start + 1, start + n):
         expr = f"({expr} * 16 + {nib.format(h=hexpr, i=i)})"
     return expr
 
@@ -1759,6 +1764,67 @@ SELECT media_id,
        CASE WHEN scale < 1 THEN greatest(1, CAST(floor(h * scale) AS INT))
             ELSE h END AS out_height
 FROM s""",
+
+        "augment_entities": f"""
+WITH {MEN_SQL},
+pool AS (
+  SELECT label, list_sort(list(DISTINCT surface)) AS surfaces
+  FROM men GROUP BY label
+),
+dec AS (
+  SELECT m.url, m.sent_id, m.start, m."end", m.label, m.surface,
+         md5('42|' || m.url || '|' || CAST(m.sent_id AS VARCHAR) || '|' ||
+             CAST(m.start AS VARCHAR)) AS h,
+         p.surfaces AS surfaces
+  FROM men m JOIN pool p USING (label)
+),
+cand AS (
+  -- replace decision: first 8 md5 hex digits as uniform [0,1);
+  -- pool pick: next 8 hex digits mod pool size (0-based -> +1)
+  SELECT url, sent_id, start, "end", label,
+         surfaces[1 + CAST({_hexn_fold_sql("h", 8, 9)} % len(surfaces) AS INT)]
+           AS replacement
+  FROM dec
+  WHERE CAST({_hexn_fold_sql("h", 8, 1)} AS DOUBLE) / 4294967295.0 <= 0.3
+    AND surfaces[1 + CAST({_hexn_fold_sql("h", 8, 9)} % len(surfaces) AS INT)]
+        != surface
+),
+rep AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY url, sent_id
+                                   ORDER BY start) AS rk
+    FROM cand c) z
+  WHERE rk <= 2
+),
+ttags AS (
+  -- per-token BIO tags from the (non-overlapping) mention spans
+  SELECT t.url, t.sent_id, t.pos, t.tok,
+         coalesce(CASE WHEN m.start = t.pos THEN 'B-' || m.label
+                       ELSE 'I-' || m.label END, 'O') AS tag
+  FROM toks t
+  LEFT JOIN men m ON m.url = t.url AND m.sent_id = t.sent_id
+                 AND t.pos BETWEEN m.start AND m."end"
+),
+pieces AS (
+  -- the splice as piece reconstruction: kept tokens outside replaced
+  -- spans + one multi-token piece per replacement, ordered by position
+  SELECT t.url, t.sent_id, t.pos AS opos, t.tok AS ptext, t.tag AS ptag
+  FROM ttags t
+  JOIN (SELECT DISTINCT url, sent_id FROM rep) s USING (url, sent_id)
+  WHERE NOT EXISTS (SELECT 1 FROM rep r
+                    WHERE r.url = t.url AND r.sent_id = t.sent_id
+                      AND t.pos BETWEEN r.start AND r."end")
+  UNION ALL
+  SELECT url, sent_id, start, replacement,
+         'B-' || label || repeat(' I-' || label,
+                                 len(string_split(replacement, ' ')) - 1)
+  FROM rep
+)
+SELECT url, sent_id,
+       string_agg(ptext, ' ' ORDER BY opos) AS aug_text,
+       string_agg(ptag, ' ' ORDER BY opos) AS aug_tags,
+       CAST(0.5 AS DOUBLE) AS loss_weight
+FROM pieces GROUP BY url, sent_id""",
 
         "multimodal_features": f"""
 WITH {PAGES_SQL},
