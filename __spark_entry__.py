@@ -759,6 +759,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return resize_images(media, max_side=64).select(
             "media_id", "out_width", "out_height")
 
+    def url_canonicalize(spark, sf):
+        # web-corpus hygiene: canonical per-url identity (fragment /
+        # case / default-port / trailing-slash / utm + param-order
+        # noise removed) — the key url-keyed dedup and byte-parity
+        # contracts join on.  Messy inputs constructed deterministically
+        # from doc fields so both engines canonicalize identical strings.
+        from ner_extractor_spark.functions.urls import canonical_url
+        d = _docs(spark, sf)
+        messy = F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW.Ex.COM:80"))
+            .otherwise(F.lit("HTTPS://Ex.org:443")),
+            F.lit("/"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=x&b="), (F.col("doc_id") % 5).cast("string"),
+            F.lit("&a="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("#sec"), (F.col("doc_id") % 2).cast("string"))
+        return d.select("doc_id", messy.alias("url_raw"),
+                        canonical_url(messy).alias("url_canon"))
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -780,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": sample_mixture,
         "multimodal_features": multimodal_features,   # oracle-checked r03
         "augment_entities": augment_entities,         # oracle-checked r03
+        "url_canonicalize": url_canonicalize,         # new r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -1315,6 +1336,8 @@ def oracle_sql() -> dict[str, str]:
     PII_IPV4 = PII_PATTERNS["n_ipv4"]
     pred_list = ", ".join(f"'{p}'" for p in PREDICATES)
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    from ner_extractor_spark.functions.urls import \
+        CANONICAL_URL_SQL as _CANON_URL_SQL
 
     return {
         "kg_extract_sentences": f"""
@@ -1764,6 +1787,22 @@ SELECT media_id,
        CASE WHEN scale < 1 THEN greatest(1, CAST(floor(h * scale) AS INT))
             ELSE h END AS out_height
 FROM s""",
+
+        "url_canonicalize": """
+WITH _urls AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Ex.COM:80'
+              ELSE 'HTTPS://Ex.org:443' END
+         || '/' || source || '/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || '?utm_source=x&b=' || CAST(doc_id % 5 AS VARCHAR)
+         || '&a=' || CAST(doc_id % 7 AS VARCHAR)
+         || '#sec' || CAST(doc_id % 2 AS VARCHAR) AS u
+  FROM documents
+),
+canon AS (""" + _CANON_URL_SQL + """)
+SELECT d.doc_id, d.u AS url_raw, c._out AS url_canon
+FROM _urls d JOIN canon c ON c._in = d.u""",
 
         "augment_entities": f"""
 WITH {MEN_SQL},
