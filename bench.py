@@ -27,6 +27,8 @@ HEADLINE = [
     "kg_mentions",
     "kg_triples",
     "kg_link_alias",
+    "kg_tag_linear",       # r03: forward+align+decode Arrow stage
+    "text_redact",         # r03: regexp-chain redaction (pure JVM)
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_jaccard",

@@ -37,6 +37,17 @@ def norm_surface(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def best_alias_rows(aliases: DataFrame) -> DataFrame:
+    """One row per alias_norm: max prior, tie -> min entity_id — THE
+    disambiguation rule, applied once on the (tiny, pre-broadcast)
+    dimension table.  Shared by link_exact and the residual-LSH linking
+    path so both tie-break identically."""
+    wa = Window.partitionBy("alias_norm").orderBy(
+        F.desc("prior"), F.asc("entity_id"))
+    return (aliases.withColumn("_rk", F.row_number().over(wa))
+            .filter(F.col("_rk") == 1).drop("_rk"))
+
+
 def link_exact(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     """Broadcast alias equi-join; deterministic disambiguation
     (max prior, then min entity_id).
@@ -52,12 +63,9 @@ def link_exact(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     corpus side entirely (measured: the big-side disambiguation window
     was ~70% of kg_link_alias's cost at sf0.1; plan pinned window-free
     on the probe side in tests/test_link_cc.py)."""
-    wa = Window.partitionBy("alias_norm").orderBy(
-        F.desc("prior"), F.asc("entity_id"))
-    best = (aliases.withColumn("_rk", F.row_number().over(wa))
-            .filter(F.col("_rk") == 1).drop("_rk"))
     m = mentions.withColumn("alias_norm", norm_surface(F.col("surface")))
-    return m.join(F.broadcast(best), on="alias_norm", how="inner")
+    return m.join(F.broadcast(best_alias_rows(aliases)),
+                  on="alias_norm", how="inner")
 
 
 def unlinked(mentions: DataFrame, aliases: DataFrame) -> DataFrame:

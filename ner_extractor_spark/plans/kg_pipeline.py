@@ -75,11 +75,10 @@ def run_kg_pipeline(
     cand = lsh_candidates(resid, "alias_norm",
                           aliases.select("alias_norm").distinct(), "alias_norm")
     # LSH candidates link a residual surface to the entity of the matched
-    # alias (best prior wins, deterministically).
-    alias_best = (
-        aliases.groupBy("alias_norm")
-        .agg(F.max_by("entity_id", F.struct(F.col("prior"), F.col("entity_id"))).alias("entity_id"))
-    )
+    # alias — the SAME disambiguation rule as link_exact (max prior, tie
+    # min entity_id), via the shared helper.
+    from ..operators.link import best_alias_rows
+    alias_best = best_alias_rows(aliases).select("alias_norm", "entity_id")
     resid_entities = (
         cand.withColumnRenamed("alias_norm_r", "matched_alias")
         .join(alias_best.withColumnRenamed("alias_norm", "matched_alias"),
