@@ -159,6 +159,8 @@ def simhash_segments(n_bits: int, max_hamming: int) -> list:
     segments, at least one segment is diff-free — that is the ONLY split
     count with a recall guarantee at hamming ≤ h (2 halves guarantee
     only hamming ≤ 1; round-2 shipped exactly that bug)."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     n_seg = max_hamming + 1
     if n_seg > n_bits:
         raise ValueError(f"max_hamming={max_hamming} needs {n_seg} segments "

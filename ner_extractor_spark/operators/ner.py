@@ -273,9 +273,12 @@ def linear_tag_words(sentences: DataFrame, n_tags: int = 3,
                                        max_length=max_length)
                          for toks in sents]
             # batched forward: one integer matmul for the whole batch,
-            # exact division by the dyadic denominator afterwards
+            # exact division by the dyadic denominator afterwards.
+            # (explicit 2-D empty shape: a zero-row Arrow batch must not
+            # feed a 1-D empty array into the matmul)
             flat = [p for ps in piece_lists for p in ps]
-            X = np.array([feats(p) for p in flat], dtype=np.int64)
+            X = (np.array([feats(p) for p in flat], dtype=np.int64)
+                 if flat else np.zeros((0, LINEAR_FEAT_DIM), dtype=np.int64))
             E = (X @ W) / 4096.0                       # (n_subwords, K)
             tags_out, nw_out, sc_out, off = [], [], [], 0
             for ps, wids in zip(piece_lists, wid_lists):
