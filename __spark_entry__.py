@@ -759,6 +759,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return resize_images(media, max_side=64).select(
             "media_id", "out_width", "out_height")
 
+    def text_trigram_lm(spark, sf):
+        # CCNet-style LM quality gate: score every document under a
+        # corpus-level char-trigram model (bounded-key count table,
+        # broadcast join, one per-doc agg)
+        from ner_extractor_spark.operators.lm import (trigram_logprob,
+                                                      trigram_model)
+        d = _docs(spark, sf)
+        return trigram_logprob(d, trigram_model(d))
+
     def url_canonicalize(spark, sf):
         # web-corpus hygiene: canonical per-url identity (fragment /
         # case / default-port / trailing-slash / utm + param-order
@@ -801,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,   # oracle-checked r03
         "augment_entities": augment_entities,         # oracle-checked r03
         "url_canonicalize": url_canonicalize,         # new r03
+        "text_trigram_lm": text_trigram_lm,           # new r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -1787,6 +1797,25 @@ SELECT media_id,
        CASE WHEN scale < 1 THEN greatest(1, CAST(floor(h * scale) AS INT))
             ELSE h END AS out_height
 FROM s""",
+
+        "text_trigram_lm": r"""
+WITH nt AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ')) AS t
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, substring(t, i, 3) AS tri
+  FROM nt, unnest(generate_series(1, greatest(len(t) - 2, 1))) g(i)
+),
+model AS (SELECT tri, count(*) AS c FROM tris GROUP BY tri),
+norm AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                count(*) AS n_distinct FROM model)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tris,
+       round(avg(ln((coalesce(m.c, 0) + 1.0)
+                    / (norm.n_total + norm.n_distinct))), 6) AS lm_score
+FROM tris d LEFT JOIN model m USING (tri), norm
+GROUP BY d.doc_id""",
 
         "url_canonicalize": """
 WITH _urls AS (

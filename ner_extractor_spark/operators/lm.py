@@ -1,0 +1,64 @@
+"""Character-trigram language-model scoring (CCNet-style perplexity
+filtering, the standard web-corpus quality gate: score each document
+under a corpus-level n-gram model and cut the tail).
+
+Spark-first shapes:
+
+  * ``trigram_model`` — ONE pass: explode char trigrams, groupBy count.
+    The key space is bounded by |alphabet|³ (not corpus size), so the
+    map-side combine collapses each partition to at most that many rows
+    — the shuffle is corpus-size-independent, and the finished model is
+    broadcastable.
+  * ``trigram_logprob`` — score = mean over the document's trigrams of
+    ln((c(tri) + 1) / (N + D)) (add-one-smoothed unigram-over-trigrams
+    model; N = total, D = distinct trigrams).  The model join is a
+    broadcast (bounded table), the (N, D) normalizer rides a 1-row
+    broadcast cross join — the only shuffle is the per-doc aggregation.
+
+Deterministic and engine-portable: counts are exact integers and the
+DuckDB oracle replays the same ln/avg to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import normalize_text
+
+
+def char_trigrams(col, n: int = 3):
+    """ALL character n-grams (with multiplicity) of the normalized
+    text; a text shorter than n yields itself once."""
+    t = normalize_text(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+        lambda i: F.substring(t, i, F.lit(n)))
+
+
+def trigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tri, c) corpus counts — bounded by |alphabet|³ rows."""
+    return (docs.select(F.explode(char_trigrams(F.col(text_col)))
+                        .alias("tri"))
+            .groupBy("tri").agg(F.count(F.lit(1)).alias("c")))
+
+
+def trigram_logprob(docs: DataFrame, model: DataFrame,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tris, lm_score): mean smoothed trigram log-prob of
+    each document under ``model`` — low scores = out-of-distribution
+    text (gibberish, wrong language, encoding damage)."""
+    norm = model.agg(F.sum("c").alias("n_total"),
+                     F.count(F.lit(1)).alias("n_distinct"))
+    tris = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(char_trigrams(F.col(text_col)))
+                       .alias("tri"))
+    scored = (tris.join(F.broadcast(model), on="tri", how="left")
+              .crossJoin(F.broadcast(norm))
+              .select("doc_id",
+                      F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                            / (F.col("n_total") + F.col("n_distinct")))
+                      .alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tris"),
+                 F.round(F.avg("lp"), 6).alias("lm_score")))

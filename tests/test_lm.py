@@ -1,0 +1,50 @@
+"""Char-trigram LM quality scoring: in-distribution text scores above
+gibberish, trigram counting, partition invariance."""
+
+from pyspark.sql import functions as F
+
+from ner_extractor_spark.operators.lm import (char_trigrams, trigram_logprob,
+                                              trigram_model)
+
+
+def _docs(spark):
+    english = [
+        (i, "the quick brown fox jumps over the lazy dog near the river "
+            "and the green hills beyond the old stone bridge") for i in range(8)]
+    rows = english + [
+        (100, "xq zvk wjj qqq zzzz xkcd vwxyz qzj kkx"),    # gibberish
+        (101, "the fox and the dog near the river"),        # in-distribution
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_trigram_counts_and_short_text(spark):
+    d = spark.createDataFrame([(1, "abcd"), (2, "ab"), (3, "  A  B ")],
+                              "doc_id long, text string")
+    tri = {r["doc_id"]: r["t"] for r in
+           d.select("doc_id", char_trigrams(F.col("text")).alias("t"))
+           .collect()}
+    assert tri[1] == ["abc", "bcd"]
+    assert tri[2] == ["ab"]                     # shorter than 3 -> itself
+    assert tri[3] == ["a b"]                    # normalized "a b"
+
+
+def test_lm_score_separates_gibberish(spark):
+    d = _docs(spark)
+    out = {r["doc_id"]: (r["n_tris"], r["lm_score"]) for r in
+           trigram_logprob(d, trigram_model(d)).collect()}
+    assert len(out) == 10
+    # every doc's trigram count matches len(normalized) - 2
+    assert out[101][0] == len("the fox and the dog near the river") - 2
+    # the in-distribution doc scores strictly above the gibberish doc
+    assert out[101][1] > out[100][1]
+    # scores are negative log-probs
+    assert all(s < 0 for _, s in out.values())
+
+
+def test_lm_partition_invariance(spark):
+    d = _docs(spark)
+    a = sorted(map(tuple, trigram_logprob(d, trigram_model(d)).collect()))
+    d2 = d.repartition(7)
+    b = sorted(map(tuple, trigram_logprob(d2, trigram_model(d2)).collect()))
+    assert a == b
