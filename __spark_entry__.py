@@ -768,6 +768,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         return trigram_logprob(d, trigram_model(d))
 
+    def text_tfidf_topk(spark, sf):
+        # salient-term extraction: smoothed TF-IDF, top-5 per doc;
+        # vocab-bounded aggregations + broadcast idf, the only
+        # corpus-row shuffle is the doc-keyed top-k window
+        from ner_extractor_spark.operators.lm import tfidf_topk
+        return tfidf_topk(_docs(spark, sf), k=5)
+
     def url_canonicalize(spark, sf):
         # web-corpus hygiene: canonical per-url identity (fragment /
         # case / default-port / trailing-slash / utm + param-order
@@ -811,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_entities": augment_entities,         # oracle-checked r03
         "url_canonicalize": url_canonicalize,         # new r03
         "text_trigram_lm": text_trigram_lm,           # new r03
+        "text_tfidf_topk": text_tfidf_topk,           # new r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -1816,6 +1824,33 @@ SELECT d.doc_id,
                     / (norm.n_total + norm.n_distinct))), 6) AS lm_score
 FROM tris d LEFT JOIN model m USING (tri), norm
 GROUP BY d.doc_id""",
+
+        "text_tfidf_topk": r"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                                                       '\s+', ' ')), ' ')) AS t
+        FROM documents)
+  WHERE t != ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+idf AS (
+  SELECT term, ln((nd.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM tf, nd GROUP BY term, nd.n_docs
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 5""",
 
         "url_canonicalize": """
 WITH _urls AS (

@@ -1,6 +1,7 @@
-"""Character-trigram language-model scoring (CCNet-style perplexity
-filtering, the standard web-corpus quality gate: score each document
-under a corpus-level n-gram model and cut the tail).
+"""Corpus-statistics text scoring: character-trigram language-model
+scoring (CCNet-style perplexity filtering, the standard web-corpus
+quality gate: score each document under a corpus-level n-gram model and
+cut the tail) and TF-IDF salient-term extraction.
 
 Spark-first shapes:
 
@@ -62,3 +63,37 @@ def trigram_logprob(docs: DataFrame, model: DataFrame,
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tris"),
                  F.round(F.avg("lp"), 6).alias("lm_score")))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Top-k salient terms per document by smoothed TF-IDF
+    (idf = ln((n_docs + 1) / (df + 1)) + 1, the sklearn smoothing).
+
+    Shapes: term counts are two bounded-key aggregations (vocab-sized,
+    map-side combined); the df table is vocab-bounded and broadcast;
+    the ONLY per-corpus-row shuffle is the top-k window, partitioned by
+    doc_id — maximal-cardinality key, skew-free by construction.
+    Deterministic ties: score desc, then term asc.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " "))
+        .alias("term")).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(
+                docs.agg(F.count(F.lit(1)).alias("n_docs"))))
+            .select("term",
+                    (F.log((F.col("n_docs") + F.lit(1.0))
+                           / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
+                    .alias("idf")))
+    scored = (tf.join(F.broadcast(df_t), on="term")
+              .select("doc_id", "term",
+                      F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "term", "tfidf", "rank"))

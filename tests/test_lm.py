@@ -42,6 +42,28 @@ def test_lm_score_separates_gibberish(spark):
     assert all(s < 0 for _, s in out.values())
 
 
+def test_tfidf_topk_salience_and_ranks(spark):
+    from ner_extractor_spark.operators.lm import tfidf_topk
+    rows = [
+        (1, "apple banana apple apple cherry"),
+        (2, "banana cherry cherry dates"),
+        (3, "common common common words words"),
+        (4, "common words here too"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk(d, k=2)
+    got = {(r["doc_id"], r["rank"]): r["term"] for r in out.collect()}
+    # doc 1: 'apple' appears 3x and only in doc 1 -> top term
+    assert got[(1, 1)] == "apple"
+    # ranks are 1..k per doc, complete
+    assert {(r["doc_id"], r["rank"]) for r in out.collect()} >= \
+        {(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (4, 1), (4, 2)}
+    # a corpus-wide term scores below a doc-unique term of equal tf
+    scores = {(r["doc_id"], r["term"]): r["tfidf"] for r in
+              tfidf_topk(d, k=10).collect()}
+    assert scores[(4, "here")] > scores[(4, "common")]
+
+
 def test_lm_partition_invariance(spark):
     d = _docs(spark)
     a = sorted(map(tuple, trigram_logprob(d, trigram_model(d)).collect()))
