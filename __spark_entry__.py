@@ -485,6 +485,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(w,) for w in CMS_TERMS], "term string")
         return cms_estimate(build_cms(toks), terms)
 
+    def sketch_bloom(spark, sf):
+        # deterministic Bloom filter over the same token stream:
+        # membership with guaranteed no-false-negatives; probes include
+        # the absent sentinel (false unless an md5 collision, which the
+        # oracle reproduces identically either way)
+        from ner_extractor_spark.operators.sketch import (bloom_contains,
+                                                          build_bloom)
+        toks = _docs(spark, sf).select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            .alias("token"))
+        terms = spark.createDataFrame(
+            [(w,) for w in CMS_TERMS], "term string")
+        return bloom_contains(build_bloom(toks), terms)
+
     def text_quality_filter(spark, sf):
         # Gopher-style hard-rule keep/drop with first-violation reason
         from ner_extractor_spark.functions.text import quality_filter
@@ -819,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": url_canonicalize,         # new r03
         "text_trigram_lm": text_trigram_lm,           # new r03
         "text_tfidf_topk": text_tfidf_topk,           # new r03
+        "sketch_bloom": sketch_bloom,                 # new r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -2031,6 +2046,29 @@ probes AS (
 )
 SELECT p.term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est
 FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.cell = p.cell
+GROUP BY p.term""",
+
+        "sketch_bloom": f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+bits AS (
+  SELECT DISTINCT
+         {_hex4_fold_sql("md5('b' || CAST(t.i AS VARCHAR) || '|' || token)")}
+           % 16384 AS bit
+  FROM tok, unnest(generate_series(0, 3)) t(i)
+),
+terms(term) AS (VALUES {", ".join(f"('{w}')" for w in CMS_TERMS)}),
+probes AS (
+  SELECT term,
+         {_hex4_fold_sql("md5('b' || CAST(t.i AS VARCHAR) || '|' || term)")}
+           % 16384 AS bit
+  FROM terms, unnest(generate_series(0, 3)) t(i)
+)
+SELECT p.term,
+       count(*) FILTER (b.bit IS NOT NULL) = 4 AS maybe_present
+FROM probes p LEFT JOIN bits b ON b.bit = p.bit
 GROUP BY p.term""",
 
         "embed_pca_det": f"""

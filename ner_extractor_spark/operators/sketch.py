@@ -1,5 +1,6 @@
-"""Count-min sketch over a token stream (build brief: custom operators
-Spark lacks — 'a novel sketch' — expressed as pure aggregations).
+"""Deterministic, engine-portable sketches over a token stream (build
+brief: custom operators Spark lacks — 'a novel sketch' — expressed as
+pure aggregations): a count-min sketch and a Bloom filter.
 
 A CMS is ``depth`` hash rows × ``width`` counters; an item's estimate is
 the MIN of its counters, an upper bound on the true count with error
@@ -75,7 +76,7 @@ def cms_estimate(cms: DataFrame, terms: DataFrame,
         p = keyed.select("term", F.lit(r).alias("row"),
                          _cell(F.col("term"), r, width).alias("cell"))
         probes = p if probes is None else probes.unionByName(p)
-    # bounds guard: one broadcast row over the (≤ depth×width-row) sketch
+    # bounds guard: one broadcast row over the (<= depth×width-row) sketch
     bounds = cms.agg(F.max("cell").alias("_bc"), F.max("row").alias("_br"))
     est = (probes.join(cms, on=["row", "cell"], how="left")
            .groupBy("term")
@@ -90,3 +91,50 @@ def cms_estimate(cms: DataFrame, terms: DataFrame,
     ).otherwise(F.col("est"))
     return (est.crossJoin(F.broadcast(bounds))
             .select("term", chk.alias("est")))
+
+
+BLOOM_BITS = 16384   # must divide 65536 (4-hex-char fold)
+BLOOM_K = 4
+
+
+def _bloom_bit(token_col, k: int, n_bits: int):
+    h = F.md5(F.concat(F.lit(f"b{k}|"), token_col))
+    return F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("int"),
+                  F.lit(n_bits))
+
+
+def build_bloom(tokens: DataFrame, token_col: str = "token",
+                n_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> DataFrame:
+    """token rows -> (bit) set-bit table (<= n_bits rows regardless of
+    corpus size — the sparse representation of the filter).  Mergeable:
+    union two filters and take DISTINCT.  Deterministic md5 hashing, so
+    an oracle (or another engine) rebuilds it bit for bit — Spark's own
+    bloom_filter_agg is not cross-engine portable."""
+    if 65536 % n_bits:
+        raise ValueError("n_bits must divide 65536 (4-hex-char hash fold)")
+    bits = F.explode(F.array(*[
+        _bloom_bit(F.col(token_col), i, n_bits) for i in range(k)]))
+    return tokens.select(bits.alias("bit")).distinct()
+
+
+def bloom_contains(bloom: DataFrame, terms: DataFrame,
+                   term_col: str = "term",
+                   n_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> DataFrame:
+    """(term) rows -> (term, maybe_present): true iff ALL k probe bits
+    are set — no false negatives ever; false positives at the classic
+    (1 - e^{-kn/m})^k rate.  n_bits/k MUST match the build (same
+    contract as cms_estimate)."""
+    if 65536 % n_bits:
+        raise ValueError("n_bits must divide 65536 (4-hex-char hash fold)")
+    keyed = terms.select(F.col(term_col).alias("term"))
+    probes = None
+    for i in range(k):
+        p = keyed.select("term",
+                         _bloom_bit(F.col("term"), i, n_bits).alias("bit"))
+        probes = p if probes is None else probes.unionByName(p)
+    hits = (probes.join(bloom, on="bit", how="left_semi")
+            .groupBy("term").agg(F.count(F.lit(1)).alias("n_set")))
+    return (keyed.distinct().join(hits, on="term", how="left")
+            .select("term",
+                    (F.coalesce("n_set", F.lit(0)) == k)
+                    .alias("maybe_present")))

@@ -49,6 +49,28 @@ def test_cms_partition_invariance(spark):
     assert x == y
 
 
+def test_bloom_no_false_negatives_and_merge(spark):
+    from ner_extractor_spark.operators.sketch import (bloom_contains,
+                                                      build_bloom)
+    toks = _tokens(spark)
+    bloom = build_bloom(toks)
+    present = [r["token"] for r in toks.distinct().limit(30).collect()]
+    terms = spark.createDataFrame(
+        [(t,) for t in present] + [("never-seen-xyzzy",)], "term string")
+    got = {r["term"]: r["maybe_present"]
+           for r in bloom_contains(bloom, terms).collect()}
+    assert all(got[t] for t in present)        # NEVER a false negative
+    # bloom is sparse: set-bit count bounded by k * distinct tokens
+    n_distinct = toks.distinct().count()
+    assert bloom.count() <= min(4 * n_distinct, 16384)
+    # mergeability: union+distinct of two halves == whole
+    a, b = _tokens(spark, 1500), _tokens(spark, 2500)
+    merged = build_bloom(a).unionByName(build_bloom(b)).distinct()
+    whole = build_bloom(a.unionByName(b))
+    assert sorted(r["bit"] for r in merged.collect()) == \
+        sorted(r["bit"] for r in whole.collect())
+
+
 def test_cms_mismatched_probe_fails_loudly(spark):
     import pytest
     from py4j.protocol import Py4JJavaError
