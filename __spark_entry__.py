@@ -645,6 +645,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("event_id", "user_id",
                           F.col("r_error_id").alias("error_id"))
 
+    def stream_event_join(spark, sf):
+        # the stream-stream watermarked join's batch twin (identical
+        # condition; streamed==batch parity pinned in
+        # tests/test_stream_join.py): attribute purchases to same-user
+        # views within a 30-minute window
+        from ner_extractor_spark.streaming.joins import \
+            event_attribution_batch
+        return event_attribution_batch(_events(spark, sf), within_s=1800)
+
     def stream_window_counts(spark, sf):
         ev = _events(spark, sf)
         return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -834,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_trigram_lm": text_trigram_lm,           # new r03
         "text_tfidf_topk": text_tfidf_topk,           # new r03
         "sketch_bloom": sketch_bloom,                 # new r03
+        "stream_event_join": stream_event_join,       # new r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -2210,6 +2220,14 @@ SELECT c.event_id, c.user_id, e.error_id
 FROM clicks c JOIN errors e
   ON c.user_id = e.user_id
  AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts""",
+
+        "stream_event_join": """
+SELECT p.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       v.ts AS v_ts, p.ts AS p_ts, p.value AS value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 1800 SECOND""",
 
         "stream_window_counts": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
