@@ -42,6 +42,11 @@ GAZ_GOLD = {
 }
 PREDICATES = ["sort", "filter", "agg"]
 
+# allow-listed triple signatures for the kg_triples_typed schema gate
+KG_TYPE_CONSTRAINTS = [("agg", "MISC", "MISC"), ("sort", "ORG", "MISC"),
+                       ("filter", "MISC", "ORG"), ("agg", "ORG", "ORG"),
+                       ("sort", "ALGO", "MISC"), ("agg", "ALGO", "MISC")]
+
 ALIASES = [
     ("spark", "Q-1", "ORG", 1.0),
     ("spark", "Q-1B", "ORG", 0.5),          # ambiguity: lower prior loses
@@ -299,6 +304,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         linked = link_exact(_mentions(spark, sf), _aliases_df(spark))
         return (linked.groupBy("entity_id")
                 .agg(F.count(F.lit(1)).alias("n_mentions")))
+
+    def _triples_df(spark, sf):
+        from ner_extractor_spark.operators.triples import extract_triples_local
+        return extract_triples_local(_tagged(spark, sf),
+                                     predicates=PREDICATES, max_gap=8)
+
+    def kg_triples_typed(spark, sf):
+        # schema gate: only allow-listed (pred, subj_label, obj_label)
+        # signatures reach the KG (broadcast constraint join)
+        from ner_extractor_spark.operators.kg_quality import typed_triples
+        return typed_triples(_triples_df(spark, sf), KG_TYPE_CONSTRAINTS)
+
+    def kg_triple_pmi(spark, sf):
+        # relation promotion signal: PMI of (subj, obj) co-occurrence
+        from ner_extractor_spark.operators.kg_quality import triple_pmi
+        return triple_pmi(_triples_df(spark, sf))
+
+    def kg_negative_samples(spark, sf):
+        # KG-embedding training negatives: md5-picked same-label object
+        # corruption, k=2 per triple, accidental positives dropped
+        from ner_extractor_spark.operators.kg_quality import negative_samples
+        return negative_samples(_triples_df(spark, sf), k=2)
 
     def _triple_edges(spark, sf):
         from ner_extractor_spark.operators.triples import extract_triples_local
@@ -844,6 +871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": text_tfidf_topk,           # new r03
         "sketch_bloom": sketch_bloom,                 # new r03
         "stream_event_join": stream_event_join,       # new r03
+        "kg_triples_typed": kg_triples_typed,         # new r03
+        "kg_triple_pmi": kg_triple_pmi,               # new r03
+        "kg_negative_samples": kg_negative_samples,   # new r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -1445,6 +1475,49 @@ WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)}
 SELECT url, sent_id, subj_start, subj_surface, subj_label,
        pred, obj_start, obj_surface, obj_label
 FROM tri""",
+
+        "kg_triples_typed": f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)}
+SELECT pred, subj_label, obj_label, url, sent_id, subj_start,
+       subj_surface, obj_start, obj_surface
+FROM tri
+WHERE (pred, subj_label, obj_label) IN ({", ".join(
+    f"('{p}', '{s}', '{o}')" for p, s, o in KG_TYPE_CONSTRAINTS)})""",
+
+        "kg_triple_pmi": f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+base AS (SELECT subj_surface AS subj, obj_surface AS obj FROM tri),
+pair AS (SELECT subj, obj, count(*) AS n_pair FROM base GROUP BY subj, obj),
+ns AS (SELECT subj, count(*) AS n_subj FROM base GROUP BY subj),
+no AS (SELECT obj, count(*) AS n_obj FROM base GROUP BY obj),
+tot AS (SELECT count(*) AS n_total FROM base)
+SELECT p.subj, p.obj, CAST(p.n_pair AS BIGINT) AS n_pair,
+       round(ln(CAST(p.n_pair AS DOUBLE) * tot.n_total
+                / (ns.n_subj * no.n_obj)), 6) AS pmi
+FROM pair p JOIN ns USING (subj) JOIN no USING (obj), tot""",
+
+        "kg_negative_samples": f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+pool AS (
+  SELECT obj_label AS lbl, list_sort(list(DISTINCT obj_surface)) AS pl
+  FROM tri GROUP BY obj_label
+),
+fan AS (
+  SELECT t.*, pool.pl, g.i AS neg_i,
+         md5('42|' || t.url || '|' || CAST(t.sent_id AS VARCHAR) || '|' ||
+             CAST(t.subj_start AS VARCHAR) || '|' ||
+             CAST(t.obj_start AS VARCHAR) || '|' || t.pred || '|' ||
+             CAST(g.i AS VARCHAR)) AS h
+  FROM tri t JOIN pool ON pool.lbl = t.obj_label,
+       unnest(generate_series(0, 1)) g(i)
+),
+neg AS (
+  SELECT url, sent_id, subj_surface, subj_label, pred, obj_surface, neg_i,
+         pl[1 + CAST({_hexn_fold_sql("h", 8)} % len(pl) AS INT)]
+           AS neg_obj_surface
+  FROM fan
+)
+SELECT * FROM neg WHERE neg_obj_surface != obj_surface""",
 
         "kg_viterbi_tags": f"""
 WITH RECURSIVE {TOKS_SQL}{_viterbi_sql()}

@@ -1,0 +1,85 @@
+"""KG post-extraction operators (kg_construct tier): type-constrained
+triple filtering, co-occurrence PMI scoring, and negative sampling for
+KG-embedding training data.
+
+All three are Spark-first relational compositions over the triples
+table, deterministic and oracle-checkable:
+
+* ``typed_triples`` — an allow-list of (pred, subj_label, obj_label)
+  signatures as a broadcast inner join: schema-level noise (a LOC
+  "founding" an ORG) never reaches the KG.  The constraint table is
+  tiny by nature (predicates × label pairs).
+* ``triple_pmi`` — pointwise mutual information of (subj, obj)
+  co-occurrence: ln(n_so · N / (n_s · n_o)).  High-PMI pairs are
+  promotable relations, negatives near 0 are incidental co-mentions.
+  All aggregations are entity-vocabulary-bounded; the marginal tables
+  are broadcast back onto the pair counts.
+* ``negative_samples`` — the standard KG-embedding corruption recipe:
+  each triple yields ``k`` negatives whose object is replaced by an
+  md5-picked same-label entity (skipping accidental positives).  The
+  per-label entity pools are sorted-distinct (stable indices) and
+  broadcast; every pick is keyed by triple identity + sample index, so
+  output is cluster-size invariant and SQL-reproducible — the same
+  determinism discipline as operators/augment.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def typed_triples(triples: DataFrame,
+                  constraints: Iterable[Tuple[str, str, str]]) -> DataFrame:
+    """Keep triples whose (pred, subj_label, obj_label) signature is in
+    the allow-list."""
+    spark = triples.sparkSession
+    cdf = spark.createDataFrame(
+        list(constraints), "pred string, subj_label string, obj_label string")
+    return triples.join(F.broadcast(cdf),
+                        on=["pred", "subj_label", "obj_label"], how="inner")
+
+
+def triple_pmi(triples: DataFrame,
+               subj_col: str = "subj_surface",
+               obj_col: str = "obj_surface") -> DataFrame:
+    """(subj, obj, n_pair, pmi) per distinct co-occurring pair."""
+    s, o = F.col(subj_col).alias("subj"), F.col(obj_col).alias("obj")
+    base = triples.select(s, o)
+    pair = base.groupBy("subj", "obj").agg(F.count(F.lit(1)).alias("n_pair"))
+    ns = base.groupBy("subj").agg(F.count(F.lit(1)).alias("n_subj"))
+    no = base.groupBy("obj").agg(F.count(F.lit(1)).alias("n_obj"))
+    total = base.agg(F.count(F.lit(1)).alias("n_total"))
+    return (pair.join(F.broadcast(ns), on="subj")
+            .join(F.broadcast(no), on="obj")
+            .crossJoin(F.broadcast(total))
+            .select("subj", "obj", "n_pair",
+                    F.round(F.log(F.col("n_pair") * F.col("n_total")
+                                  / (F.col("n_subj") * F.col("n_obj"))), 6)
+                    .alias("pmi")))
+
+
+def negative_samples(triples: DataFrame, k: int = 2,
+                     seed: int = 42) -> DataFrame:
+    """Each triple -> up to ``k`` (subj, pred, neg_obj) corruptions with
+    a same-label object; picks identical to the original are dropped
+    (never silently re-picked — re-picking would make sample i's value
+    depend on pool layout in a way SQL can't replay cheaply)."""
+    pool = (triples
+            .groupBy(F.col("obj_label").alias("_lbl"))
+            .agg(F.array_sort(F.collect_set("obj_surface")).alias("_pool")))
+    t = triples.join(F.broadcast(pool),
+                     on=triples["obj_label"] == pool["_lbl"]).drop("_lbl")
+    t = t.withColumn("neg_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    key = F.concat_ws("|", F.lit(str(seed)), "url", "sent_id",
+                      F.col("subj_start").cast("string"),
+                      F.col("obj_start").cast("string"), "pred",
+                      F.col("neg_i").cast("string"))
+    idx = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+           % F.size("_pool")).cast("int")
+    neg = F.col("_pool")[idx]
+    return (t.withColumn("neg_obj_surface", neg)
+            .filter(F.col("neg_obj_surface") != F.col("obj_surface"))
+            .select("url", "sent_id", "subj_surface", "subj_label", "pred",
+                    "obj_surface", "neg_i", "neg_obj_surface"))

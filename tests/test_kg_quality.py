@@ -1,0 +1,71 @@
+"""KG post-extraction operators: type gate, PMI, negative sampling."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ner_extractor_spark.operators.kg_quality import (negative_samples,
+                                                      triple_pmi,
+                                                      typed_triples)
+
+TRI = ("url string, sent_id int, subj_start int, subj_surface string, "
+       "subj_label string, pred string, obj_start int, obj_surface string, "
+       "obj_label string")
+
+
+def _triples(spark):
+    rows = [
+        ("u1", 0, 0, "alice", "PER", "founded", 5, "acme", "ORG"),
+        ("u1", 1, 0, "alice", "PER", "founded", 4, "acme", "ORG"),
+        ("u2", 0, 0, "bob", "PER", "founded", 3, "globex", "ORG"),
+        ("u2", 1, 0, "bob", "PER", "visited", 3, "paris", "LOC"),
+        ("u3", 0, 0, "acme", "ORG", "founded", 2, "alice", "PER"),  # off-type
+    ]
+    return spark.createDataFrame(rows, TRI)
+
+
+def test_typed_triples_gate(spark):
+    t = _triples(spark)
+    out = typed_triples(t, [("founded", "PER", "ORG"),
+                            ("visited", "PER", "LOC")])
+    got = {(r["subj_surface"], r["pred"], r["obj_surface"])
+           for r in out.collect()}
+    assert got == {("alice", "founded", "acme"),
+                   ("bob", "founded", "globex"),
+                   ("bob", "visited", "paris")}   # off-type row gated out
+
+
+def test_triple_pmi_values(spark):
+    t = _triples(spark)
+    got = {(r["subj"], r["obj"]): (r["n_pair"], r["pmi"])
+           for r in triple_pmi(t).collect()}
+    # (alice, acme): n_pair=2, n_subj(alice)=2, n_obj(acme)=2, N=5
+    n, pmi = got[("alice", "acme")]
+    assert n == 2
+    assert pmi == round(math.log(2 * 5 / (2 * 2)), 6)
+    # (bob, paris): n_pair=1, n_subj(bob)=2, n_obj(paris)=1, N=5
+    assert got[("bob", "paris")][1] == round(math.log(5 / 2), 6)
+    # (acme, alice): all-singleton marginals -> pmi = ln(N)
+    assert got[("acme", "alice")][1] == round(math.log(5), 6)
+
+
+def test_negative_samples_determinism_and_no_positives(spark):
+    t = _triples(spark)
+    out = negative_samples(t, k=3)
+    rows = out.collect()
+    # never an accidental positive, always a same-label pool pick
+    pools = {"ORG": {"acme", "globex"}, "LOC": {"paris"}, "PER": {"alice"}}
+    orig = {(r["url"], r["sent_id"]): r["obj_surface"]
+            for r in t.collect()}
+    for r in rows:
+        assert r["neg_obj_surface"] != r["obj_surface"]
+    # the LOC pool has one entity == the original -> no negatives survive
+    assert not [r for r in rows if r["obj_surface"] == "paris"]
+    # deterministic under repartition
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, negative_samples(t.repartition(7), k=3).collect()))
+    assert a == b
+    # ORG corruptions come from the ORG pool
+    for r in rows:
+        if r["obj_surface"] in pools["ORG"]:
+            assert r["neg_obj_surface"] in pools["ORG"]
