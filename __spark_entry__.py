@@ -327,6 +327,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.operators.kg_quality import negative_samples
         return negative_samples(_triples_df(spark, sf), k=2)
 
+    def kg_triple_provenance(spark, sf):
+        # the final KG fact rollup: distinct (subj, pred, obj) with
+        # mention count, distinct-source count, first/last capture ts
+        from ner_extractor_spark.operators.kg_quality import \
+            triple_provenance
+        return triple_provenance(_triples_df(spark, sf), _pages(spark, sf))
+
     def _triple_edges(spark, sf):
         from ner_extractor_spark.operators.triples import extract_triples_local
         tri = extract_triples_local(_tagged(spark, sf),
@@ -874,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_typed": kg_triples_typed,         # new r03
         "kg_triple_pmi": kg_triple_pmi,               # new r03
         "kg_negative_samples": kg_negative_samples,   # new r03
+        "kg_triple_provenance": kg_triple_provenance,  # new r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -1495,6 +1503,25 @@ SELECT p.subj, p.obj, CAST(p.n_pair AS BIGINT) AS n_pair,
        round(ln(CAST(p.n_pair AS DOUBLE) * tot.n_total
                 / (ns.n_subj * no.n_obj)), 6) AS pmi
 FROM pair p JOIN ns USING (subj) JOIN no USING (obj), tot""",
+
+        "kg_triple_provenance": f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+pts AS (
+  -- warc_ts derivation mirrors sources/pages.pages_from_documents:
+  -- epoch + doc_id seconds; doc_id recovered from the synth url tail
+  SELECT url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT))
+           AS warc_ts
+  FROM pages
+)
+SELECT t.subj_surface AS subj, t.pred, t.obj_surface AS obj,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT t.url) AS BIGINT) AS n_sources,
+       min(p.warc_ts) AS first_seen,
+       max(p.warc_ts) AS last_seen
+FROM tri t JOIN pts p USING (url)
+GROUP BY 1, 2, 3""",
 
         "kg_negative_samples": f"""
 WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},

@@ -60,6 +60,21 @@ def triple_pmi(triples: DataFrame,
                     .alias("pmi")))
 
 
+def triple_provenance(triples: DataFrame, pages: DataFrame) -> DataFrame:
+    """Raw per-sentence triples -> the final KG fact table: one row per
+    distinct (subj, pred, obj) with provenance — mention count, distinct
+    source count, first/last capture timestamp.  The groupBy key is the
+    triple identity (maximal cardinality, skew-free); count(DISTINCT
+    url) compiles to the standard two-phase expand-aggregate."""
+    t = triples.join(pages.select("url", "warc_ts"), on="url")
+    return (t.groupBy(F.col("subj_surface").alias("subj"), "pred",
+                      F.col("obj_surface").alias("obj"))
+            .agg(F.count(F.lit(1)).alias("n_mentions"),
+                 F.countDistinct("url").alias("n_sources"),
+                 F.min("warc_ts").alias("first_seen"),
+                 F.max("warc_ts").alias("last_seen")))
+
+
 def negative_samples(triples: DataFrame, k: int = 2,
                      seed: int = 42) -> DataFrame:
     """Each triple -> up to ``k`` (subj, pred, neg_obj) corruptions with
