@@ -49,6 +49,24 @@ def test_triple_pmi_values(spark):
     assert got[("acme", "alice")][1] == round(math.log(5), 6)
 
 
+def test_triple_provenance_rollup(spark):
+    import datetime as dt
+
+    from ner_extractor_spark.operators.kg_quality import triple_provenance
+    t = _triples(spark)
+    t0 = dt.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [("u1", t0), ("u2", t0 + dt.timedelta(days=1)),
+         ("u3", t0 + dt.timedelta(days=2))], "url string, warc_ts timestamp")
+    got = {(r["subj"], r["pred"], r["obj"]):
+           (r["n_mentions"], r["n_sources"], r["first_seen"], r["last_seen"])
+           for r in triple_provenance(t, pages).collect()}
+    # (alice, founded, acme) mentioned twice, both in u1
+    assert got[("alice", "founded", "acme")] == (2, 1, t0, t0)
+    assert got[("bob", "visited", "paris")][1] == 1
+    assert len(got) == 4          # distinct (subj, pred, obj) facts
+
+
 def test_negative_samples_determinism_and_no_positives(spark):
     t = _triples(spark)
     out = negative_samples(t, k=3)
