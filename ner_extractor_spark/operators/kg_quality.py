@@ -12,15 +12,21 @@ table, deterministic and oracle-checkable:
 * ``triple_pmi`` — pointwise mutual information of (subj, obj)
   co-occurrence: ln(n_so · N / (n_s · n_o)).  High-PMI pairs are
   promotable relations, negatives near 0 are incidental co-mentions.
-  All aggregations are entity-vocabulary-bounded; the marginal tables
-  are broadcast back onto the pair counts.
+  The marginal joins are ORDINARY shuffle joins on subj / obj — at
+  web scale the entity vocabulary is billions of surfaces, nothing to
+  broadcast; hot entities ("Reuters"-class) are AQE-skew-join /
+  salt_explode cases exactly like the link joins.  Only the 1-row
+  total is broadcast.
 * ``negative_samples`` — the standard KG-embedding corruption recipe:
   each triple yields ``k`` negatives whose object is replaced by an
   md5-picked same-label entity (skipping accidental positives).  The
-  per-label entity pools are sorted-distinct (stable indices) and
-  broadcast; every pick is keyed by triple identity + sample index, so
-  output is cluster-size invariant and SQL-reproducible — the same
-  determinism discipline as operators/augment.py.
+  per-label pools are sorted-distinct CAPPED at ``pool_cap`` surfaces
+  (a web-scale label pool is unbounded; sampling negatives from a
+  deterministic bounded slice is the standard recipe — cap before
+  broadcast, never collect the full pool); every pick is keyed by
+  triple identity + sample index, so output is cluster-size invariant
+  and SQL-reproducible — the same determinism discipline as
+  operators/augment.py.
 """
 
 from __future__ import annotations
@@ -51,8 +57,8 @@ def triple_pmi(triples: DataFrame,
     ns = base.groupBy("subj").agg(F.count(F.lit(1)).alias("n_subj"))
     no = base.groupBy("obj").agg(F.count(F.lit(1)).alias("n_obj"))
     total = base.agg(F.count(F.lit(1)).alias("n_total"))
-    return (pair.join(F.broadcast(ns), on="subj")
-            .join(F.broadcast(no), on="obj")
+    return (pair.join(ns, on="subj")
+            .join(no, on="obj")
             .crossJoin(F.broadcast(total))
             .select("subj", "obj", "n_pair",
                     F.round(F.log(F.col("n_pair") * F.col("n_total")
@@ -76,14 +82,28 @@ def triple_provenance(triples: DataFrame, pages: DataFrame) -> DataFrame:
 
 
 def negative_samples(triples: DataFrame, k: int = 2,
-                     seed: int = 42) -> DataFrame:
+                     seed: int = 42, pool_cap: int = 10000,
+                     pre_filter_mod: int | None = None) -> DataFrame:
     """Each triple -> up to ``k`` (subj, pred, neg_obj) corruptions with
     a same-label object; picks identical to the original are dropped
     (never silently re-picked — re-picking would make sample i's value
-    depend on pool layout in a way SQL can't replay cheaply)."""
-    pool = (triples
-            .groupBy(F.col("obj_label").alias("_lbl"))
-            .agg(F.array_sort(F.collect_set("obj_surface")).alias("_pool")))
+    depend on pool layout in a way SQL can't replay cheaply).
+
+    Pool bounding, in two layers (both deterministic):
+      * ``pre_filter_mod=M`` thins candidate surfaces BEFORE the
+        per-label collect to those with md5(surface) % M == 0 — this is
+        what keeps the aggregation itself bounded when a label has
+        billions of surfaces (set M ≈ surfaces/label ÷ pool_cap);
+      * ``pool_cap`` slices the sorted-distinct pool before broadcast.
+    At sandbox scale leave ``pre_filter_mod=None`` (pools are tiny)."""
+    cand = triples.select(F.col("obj_label").alias("_lbl"), "obj_surface")
+    if pre_filter_mod is not None:
+        keep = (F.conv(F.substring(F.md5("obj_surface"), 1, 8), 16, 10)
+                .cast("long") % pre_filter_mod == 0)
+        cand = cand.filter(keep)
+    pool = (cand.groupBy("_lbl")
+            .agg(F.slice(F.array_sort(F.collect_set("obj_surface")),
+                         1, pool_cap).alias("_pool")))
     t = triples.join(F.broadcast(pool),
                      on=triples["obj_label"] == pool["_lbl"]).drop("_lbl")
     t = t.withColumn("neg_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))

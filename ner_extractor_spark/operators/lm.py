@@ -70,11 +70,13 @@ def tfidf_topk(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
     """Top-k salient terms per document by smoothed TF-IDF
     (idf = ln((n_docs + 1) / (df + 1)) + 1, the sklearn smoothing).
 
-    Shapes: term counts are two bounded-key aggregations (vocab-sized,
-    map-side combined); the df table is vocab-bounded and broadcast;
-    the ONLY per-corpus-row shuffle is the top-k window, partitioned by
-    doc_id — maximal-cardinality key, skew-free by construction.
-    Deterministic ties: score desc, then term asc.
+    Shapes: tf/df are map-side-combined aggregations; the idf join runs
+    as an ORDINARY shuffle join on term — a web corpus's vocabulary is
+    billions of terms (never broadcastable), and the hot-term skew
+    ("the"-class stopwords own huge tf partitions) is the AQE-skew-join
+    / salt_explode case, same as every hot-key join in this repo.  The
+    top-k window partitions by doc_id — maximal-cardinality key,
+    skew-free.  Deterministic ties: score desc, then term asc.
     """
     from pyspark.sql import Window
 
@@ -90,7 +92,7 @@ def tfidf_topk(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
                     (F.log((F.col("n_docs") + F.lit(1.0))
                            / (F.col("df") + F.lit(1.0))) + F.lit(1.0))
                     .alias("idf")))
-    scored = (tf.join(F.broadcast(df_t), on="term")
+    scored = (tf.join(df_t, on="term")
               .select("doc_id", "term",
                       F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
