@@ -305,6 +305,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (linked.groupBy("entity_id")
                 .agg(F.count(F.lit(1)).alias("n_mentions")))
 
+    def kg_nil_clusters(spark, sf):
+        # NIL clustering: unlinkable surfaces -> char-3-gram MinHash-LSH
+        # candidates -> connected components -> provisional NIL entity
+        # ids (one KG node per unknown entity, not per spelling).
+        # The sandbox alias dict covers every gazetteer surface, so the
+        # query makes the step real: deterministic plural-typo variants
+        # are added and the dict is reduced to two aliases — the
+        # residual spellings must cluster with their base surfaces.
+        from ner_extractor_spark.operators.link import nil_clusters
+        m = _mentions(spark, sf)
+        variants = (m.filter(F.col("sent_id") % 5 == 0)
+                    .withColumn("surface", F.concat("surface", F.lit("s"))))
+        reduced = _aliases_df(spark).filter(
+            F.col("alias_norm").isin("spark", "customer join"))
+        return nil_clusters(m.unionByName(variants), reduced)
+
     def _triples_df(spark, sf):
         from ner_extractor_spark.operators.triples import extract_triples_local
         return extract_triples_local(_tagged(spark, sf),
@@ -882,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_pmi": kg_triple_pmi,               # new r03
         "kg_negative_samples": kg_negative_samples,   # new r03
         "kg_triple_provenance": kg_triple_provenance,  # new r03
+        "kg_nil_clusters": kg_nil_clusters,           # new r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -1503,6 +1520,49 @@ SELECT p.subj, p.obj, CAST(p.n_pair AS BIGINT) AS n_pair,
        round(ln(CAST(p.n_pair AS DOUBLE) * tot.n_total
                 / (ns.n_subj * no.n_obj)), 6) AS pmi
 FROM pair p JOIN ns USING (subj) JOIN no USING (obj), tot""",
+
+        "kg_nil_clusters": f"""
+WITH RECURSIVE {MEN_SQL},
+men2 AS (
+  SELECT surface FROM men
+  UNION ALL
+  SELECT surface || 's' FROM men WHERE sent_id % 5 = 0
+),
+resid AS (
+  SELECT DISTINCT trim(regexp_replace(lower(surface), '\\s+', ' ')) AS s
+  FROM men2
+  WHERE trim(regexp_replace(lower(surface), '\\s+', ' '))
+        NOT IN ('spark', 'customer join')
+),
+shn AS (
+  SELECT DISTINCT s, substring('^' || s || '$', g.i, 3) AS sh
+  FROM resid,
+       unnest(generate_series(1, greatest(len('^' || s || '$') - 2, 1))) g(i)
+),
+sig AS (
+  SELECT s, t.k, min(md5(CAST(t.k AS VARCHAR) || '|' || sh)) AS h
+  FROM shn, unnest(generate_series(0, 11)) t(k)
+  GROUP BY s, t.k
+),
+nbands AS (
+  SELECT s, CAST(k // 2 AS INT) AS band,
+         string_agg(h, '' ORDER BY h) AS bh
+  FROM sig GROUP BY s, CAST(k // 2 AS INT)
+),
+np AS (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM nbands x JOIN nbands y
+    ON x.band = y.band AND x.bh = y.bh AND x.s < y.s
+),
+nsym AS (SELECT a AS st, b AS tt FROM np UNION SELECT b, a FROM np),
+nreach(node, comp) AS (
+  SELECT s, s FROM resid
+  UNION
+  SELECT nsym.tt, nreach.comp FROM nsym JOIN nreach ON nsym.st = nreach.node
+),
+ncanon AS (SELECT node, min(comp) AS c FROM nreach GROUP BY node)
+SELECT r.s AS alias_norm, 'NIL:' || ncanon.c AS nil_id
+FROM resid r JOIN ncanon ON ncanon.node = r.s""",
 
         "kg_triple_provenance": f"""
 WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},

@@ -137,6 +137,33 @@ def lsh_candidates(left: DataFrame, left_key: str,
     )
 
 
+def nil_clusters(mentions: DataFrame, aliases: DataFrame,
+                 n_hashes: int = N_HASHES,
+                 band_size: int = BAND_SIZE) -> DataFrame:
+    """NIL clustering — the standard KG-construction step AFTER linking
+    fails: mentions whose surface matches no alias are grouped into
+    provisional entities, so the KG gets one node per unknown entity
+    instead of one per spelling.  Composition of existing bucketed
+    pieces (no new shuffle shapes): unlinked surfaces -> char-3-gram
+    MinHash-LSH candidate pairs -> connected components; the cluster's
+    min surface becomes the provisional id (``NIL:<surface>``).
+    Returns (alias_norm, nil_id) for EVERY unlinked surface (singletons
+    cluster with themselves)."""
+    from .cc import connected_components
+
+    resid = (unlinked(mentions, aliases)
+             .select("alias_norm").distinct())
+    cand = lsh_candidates(resid, "alias_norm", resid, "alias_norm")
+    pairs = cand.filter(F.col("alias_norm") < F.col("alias_norm_r"))
+    comp = connected_components(pairs, src="alias_norm", dst="alias_norm_r")
+    return (resid.join(comp.withColumnRenamed("node", "alias_norm"),
+                       on="alias_norm", how="left")
+            .select("alias_norm",
+                    F.concat(F.lit("NIL:"),
+                             F.coalesce("comp", F.col("alias_norm")))
+                    .alias("nil_id")))
+
+
 def salt_explode(big: DataFrame, small: DataFrame, key: str, k: int = 16,
                  salt_src: str | None = None):
     """Generic skew-salting pattern (SURVEY §4.3.1): append

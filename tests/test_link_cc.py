@@ -82,6 +82,25 @@ def test_link_exact_probe_side_is_shuffle_free(spark):
     assert "Exchange hashpartitioning" not in probe, plan
 
 
+def test_nil_clusters_group_unlinkable_spellings(spark):
+    """NIL clustering: unlinked typo variants form one provisional
+    entity; linked surfaces never appear; singletons self-cluster."""
+    from ner_extractor_spark.operators.link import nil_clusters
+    aliases = spark.createDataFrame(
+        [("globex", "Q-1", "ORG", 1.0)], ALIASES)
+    mentions = spark.createDataFrame([
+        ("u1", 0, 0, 0, "Globex", "ORG"),        # linked -> excluded
+        ("u1", 1, 0, 0, "Initech", "ORG"),
+        ("u2", 0, 0, 0, "Initech Inc", "ORG"),   # near-variant
+        ("u3", 0, 0, 0, "Umbrella", "ORG"),      # unrelated singleton
+    ], MEN)
+    got = {r["alias_norm"]: r["nil_id"]
+           for r in nil_clusters(mentions, aliases).collect()}
+    assert "globex" not in got
+    assert got["initech"] == got["initech inc"] == "NIL:initech"
+    assert got["umbrella"] == "NIL:umbrella"
+
+
 def test_lsh_candidates_find_typo(spark):
     """A 1-char typo shares most char-3-gram shingles -> must surface as
     a candidate pair; an unrelated string must not."""
