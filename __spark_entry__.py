@@ -367,6 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.operators.graph import degree_stats
         return degree_stats(_triple_edges(spark, sf))
 
+    def graph_triangles(spark, sf):
+        # per-node triangle participation over the entity graph
+        # (oriented-edge join — each triangle closed exactly once)
+        from ner_extractor_spark.operators.graph import triangle_count
+        return triangle_count(_triple_edges(spark, sf))
+
     def kg_viterbi_tags(spark, sf):
         # M3 decode exercised as a real Arrow stage, oracle-checked: the
         # recursive-CTE oracle replays the SAME dynamic program over
@@ -899,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": kg_negative_samples,   # new r03
         "kg_triple_provenance": kg_triple_provenance,  # new r03
         "kg_nil_clusters": kg_nil_clusters,           # new r03
+        "graph_triangles": graph_triangles,           # new r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -1644,6 +1651,23 @@ SELECT coalesce(og.node, ig.node) AS node,
        coalesce(og.out_deg, 0) AS out_deg,
        coalesce(ig.in_deg, 0) AS in_deg
 FROM og FULL JOIN ig ON og.node = ig.node""",
+
+        "graph_triangles": f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+edges AS (SELECT DISTINCT subj_surface AS src, obj_surface AS dst FROM tri),
+oe AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges
+  WHERE src != dst AND src IS NOT NULL AND dst IS NOT NULL
+),
+tri3 AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM oe x JOIN oe y ON y.a = x.b
+  JOIN oe z ON z.a = x.a AND z.b = y.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS node FROM tri3)
+GROUP BY node""",
 
         "kg_link_alias": f"""
 WITH {MEN_SQL},

@@ -76,3 +76,16 @@ def test_pagerank_plan_checkpointed_per_iteration(spark):
     assert out.count() == 37
     s = out.agg(F.sum("rank")).first()[0]
     assert 0.5 < s <= 1.000001
+
+
+def test_triangle_count_known_graph(spark):
+    from ner_extractor_spark.operators.graph import triangle_count
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + a pendant edge +
+    # a self-loop + a reversed duplicate edge (must not double count)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 5), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}       # node 5: no triangle
+    # global count = sum / 3
+    assert sum(got.values()) // 3 == 4
