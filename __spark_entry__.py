@@ -465,6 +465,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .selectExpr("vec_id as qid", "embedding"))
         return ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
 
+    def ann_ivf_recall(spark, sf):
+        # quality audit of the approximate path: recall@5 of IVF
+        # (n_probe=4 of 16 cells) against the exact brute-force top-k,
+        # per query vector — the metric that justifies shipping IVF
+        from ner_extractor_spark.operators.similarity import ivf_topk
+        e = _emb(spark, sf)
+        q = (e.filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+             .selectExpr("vec_id as qid", "embedding"))
+        exact = cosine_topk(e, q, k=5).select("qid", "vec_id")
+        ivf = (ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
+               .select("qid", "vec_id").withColumn("hit", F.lit(1)))
+        return (exact.join(ivf, on=["qid", "vec_id"], how="left")
+                .groupBy("qid")
+                .agg(F.count("hit").alias("n_matched"),
+                     F.round(F.count("hit") / 5.0, 6).alias("recall_at_5")))
+
     def embed_kmeans_det(spark, sf):
         # M9 oracle-checked: deterministic Lloyd's (md5-picked init, 3
         # fixed rounds, centroids rounded per round — the trajectory is
@@ -906,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_provenance": kg_triple_provenance,  # new r03
         "kg_nil_clusters": kg_nil_clusters,           # new r03
         "graph_triangles": graph_triangles,           # new r03
+        "ann_ivf_recall": ann_ivf_recall,             # new r03
         # -- oracle-eligible entries the driver has never sampled ----
         "pack_bins": pack_bins,
         "agg_percentiles": agg_percentiles,
@@ -1920,6 +1937,60 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rank
   FROM scored)
 SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 5""",
+
+        "ann_ivf_recall": f"""
+WITH {EMB_FLAT_SQL},{_ivf_assign_sql(16)},
+probes AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS r
+    FROM ccos WHERE vec_id IN ({ann_ids})) t WHERE r <= 4
+),
+idots AS (
+  SELECT p.qid, a.vec_id, sum(qf.v * cf.v) AS d
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN ef qf ON qf.vec_id = p.qid
+  JOIN ef cf ON cf.vec_id = a.vec_id AND cf.i = qf.i
+  GROUP BY p.qid, a.vec_id
+),
+iscored AS (
+  SELECT idots.qid, idots.vec_id,
+         round(idots.d / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM idots JOIN en nq ON nq.vec_id = idots.qid
+             JOIN en nc ON nc.vec_id = idots.vec_id
+),
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id) AS rank
+    FROM iscored) t WHERE rank <= 5
+),
+xdots AS (
+  SELECT qf.vec_id AS qid, cf.vec_id AS vec_id, sum(qf.v * cf.v) AS d
+  FROM ef qf JOIN ef cf ON qf.i = cf.i
+  WHERE qf.vec_id IN ({ann_ids})
+  GROUP BY qf.vec_id, cf.vec_id
+),
+xscored AS (
+  SELECT xdots.qid, xdots.vec_id,
+         round(xdots.d / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM xdots JOIN en nq ON nq.vec_id = xdots.qid
+             JOIN en nc ON nc.vec_id = xdots.vec_id
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id) AS rank
+    FROM xscored) t WHERE rank <= 5
+)
+SELECT e.qid,
+       CAST(count(i.vec_id) AS BIGINT) AS n_matched,
+       round(count(i.vec_id) / 5.0, 6) AS recall_at_5
+FROM exact e LEFT JOIN ivf i ON i.qid = e.qid AND i.vec_id = e.vec_id
+GROUP BY e.qid""",
 
         "embed_homogeneity": f"""
 WITH {EMB_FLAT_SQL},{_ivf_assign_sql(16)},
