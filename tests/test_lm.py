@@ -64,6 +64,24 @@ def test_tfidf_topk_salience_and_ranks(spark):
     assert scores[(4, "here")] > scores[(4, "common")]
 
 
+def test_lm_and_tfidf_plan_shapes(spark):
+    """Plan pins: the trigram model join is BROADCAST (|alphabet|³
+    bounded keys); the tfidf idf join is a SHUFFLE join (a web
+    vocabulary is never broadcastable) and the top-k window partitions
+    by doc_id, never by term."""
+    from ner_extractor_spark.operators.lm import tfidf_topk
+    d = _docs(spark)
+    p_lm = trigram_logprob(d, trigram_model(d)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p_lm
+    p_tf = tfidf_topk(d)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in p_tf     # idf join must shuffle
+    assert "SortMergeJoin" in p_tf or "ShuffledHashJoin" in p_tf
+    for ln in p_tf.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "doc_id#" in ln.split("windowspecdefinition", 1)[1], ln
+
+
 def test_lm_partition_invariance(spark):
     d = _docs(spark)
     a = sorted(map(tuple, trigram_logprob(d, trigram_model(d)).collect()))
