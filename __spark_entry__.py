@@ -58,6 +58,8 @@ ALIASES = [
 
 ANN_QUERY_IDS = [1, 5, 9]
 CMS_TERMS = ["the", "and", "data", "spark", "zz-absent-term"]
+# global footer planted by the text_boilerplate query (df = every doc)
+BOILER_FOOTER = "(c) example.org - all rights reserved"
 
 # ---------------------------------------------------------------------------
 # Spark-side shared builders
@@ -544,6 +546,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _docs(spark, sf).select(
             "doc_id", fingerprint(F.col("text")).alias("fp"))
 
+    def text_boilerplate(spark, sf):
+        # corpus-level line cleaning (CCNet-style): every page gets the
+        # same global footer plus a per-source footer appended, so
+        # df >= 2 must strip both (and any line shared by exact-
+        # duplicate documents) while unique content lines survive in
+        # their original order
+        from ner_extractor_spark.operators.boilerplate import (
+            strip_boilerplate_lines)
+        aug = _docs(spark, sf).select(
+            "doc_id",
+            F.concat_ws(
+                "\n", F.col("text"), F.lit(BOILER_FOOTER),
+                F.concat(F.lit("from "), F.col("source"))).alias("text"))
+        return strip_boilerplate_lines(aug, min_df=2)
+
     def sketch_cms(spark, sf):
         # deterministic count-min sketch (md5-keyed rows — the oracle
         # rebuilds the sketch cell for cell); estimates for a fixed
@@ -905,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the rows-only entries.
     return {
         # -- new / changed this round --------------------------------
+        "text_boilerplate": text_boilerplate,         # new r03
         "text_redact": text_redact,
         "kg_tag_linear": kg_tag_linear,
         "dedup_simhash": dedup_simhash,
@@ -2275,6 +2293,36 @@ SELECT doc_id,
        len(regexp_extract_all(text, '""" + PII_PHONE + """')) AS n_phones,
        len(regexp_extract_all(text, '""" + PII_IPV4 + """')) AS n_ipv4
 FROM documents""",
+
+        "text_boilerplate": f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || '{BOILER_FOOTER}'
+              || chr(10) || 'from ' || source AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, string_split(text, chr(10))[i] AS line
+  FROM aug, unnest(generate_series(1, len(string_split(text, chr(10))))) t(i)
+),
+boiler AS (
+  SELECT line FROM lines WHERE len(line) >= 1
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = l.line)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT a2.doc_id,
+       CAST(len(string_split(a2.text, chr(10))) AS INT) AS n_lines,
+       COALESCE(g.n_kept, 0) AS n_kept,
+       COALESCE(g.clean_text, '') AS clean_text
+FROM aug a2 LEFT JOIN agg g USING (doc_id)""",
 
         "text_redact": """
 WITH red AS (
