@@ -158,6 +158,23 @@ toks AS (
 )"""
 
 
+def _lp_rounds_sql(n_iter: int) -> str:
+    """Unrolled synchronous label-propagation rounds (mirrors
+    operators/graph.label_propagation round for round: mode label over
+    neighbors, ties to the smallest label)."""
+    parts = ["l0 AS (SELECT DISTINCT node, node AS label FROM adj)"]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""l{k} AS (
+  SELECT node, label FROM (
+    SELECT a.node, l.label, count(*) AS n,
+           row_number() OVER (PARTITION BY a.node
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM adj a JOIN l{k - 1} l ON l.node = a.nbr
+    GROUP BY a.node, l.label)
+  WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
 def _men_sql(gaz: dict) -> str:
     """Mentions CTE for a non-overlapping gazetteer: unigram matches plus
     lead()-paired bigram matches (equivalent to longest-match greedy
@@ -374,6 +391,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (oriented-edge join — each triangle closed exactly once)
         from ner_extractor_spark.operators.graph import triangle_count
         return triangle_count(_triple_edges(spark, sf))
+
+    def graph_communities(spark, sf):
+        # mode-label-propagation communities over the entity graph:
+        # fixed synchronous rounds, smallest-label tie-break — the
+        # oracle replays the identical trajectory round for round
+        from ner_extractor_spark.operators.graph import label_propagation
+        return label_propagation(_triple_edges(spark, sf), n_iter=4)
 
     def kg_viterbi_tags(spark, sf):
         # M3 decode exercised as a real Arrow stage, oracle-checked: the
@@ -923,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new / changed this round --------------------------------
         "text_boilerplate": text_boilerplate,         # new r03
+        "graph_communities": graph_communities,       # new r03
         "text_redact": text_redact,
         "kg_tag_linear": kg_tag_linear,
         "dedup_simhash": dedup_simhash,
@@ -1703,6 +1728,21 @@ tri3 AS (
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM (SELECT unnest([a, b, c]) AS node FROM tri3)
 GROUP BY node""",
+
+        "graph_communities": f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+edges AS (
+  SELECT DISTINCT subj_surface AS src, obj_surface AS dst FROM tri
+  WHERE subj_surface != obj_surface
+    AND subj_surface IS NOT NULL AND obj_surface IS NOT NULL
+),
+adj AS (
+  SELECT src AS node, dst AS nbr FROM edges
+  UNION
+  SELECT dst AS node, src AS nbr FROM edges
+),
+{_lp_rounds_sql(4)}
+SELECT node, label AS community FROM l4""",
 
         "kg_link_alias": f"""
 WITH {MEN_SQL},

@@ -92,3 +92,45 @@ def triangle_count(edges: DataFrame, src: str = "src",
     per_node = (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
                 .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
     return per_node
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 4,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Community detection by synchronous mode-label propagation
+    (Raghavan et al. 2007), made deterministic: every node starts
+    labeled with its own id; each round a node adopts the most frequent
+    label among its neighbors, ties broken to the SMALLEST label;
+    exactly ``n_iter`` synchronous rounds (no convergence check), so
+    the trajectory is partitioning-independent and the DuckDB oracle
+    can replay it round for round.
+
+    The graph is treated as undirected (edges mirrored), self-loops
+    dropped.  Returns (node, community).
+
+    Scale shape: per round one join keyed on the neighbor id (adjacency
+    × labels) and two groupBys — (node, label) counting with map-side
+    combine, then the per-node argmax as a single ``min(struct(-n,
+    label))`` aggregate (no window, no sort).  Hub nodes are the usual
+    AQE-skew case, same as pagerank's contribution join.  Labels are
+    localCheckpoint-ed per round (same lineage barrier as cc.py /
+    pagerank)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct())
+    adj = (e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .union(e.select(F.col("dst").alias("node"),
+                           F.col("src").alias("nbr")))
+           .distinct().localCheckpoint())
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        cnt = (adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+               .groupBy("node", "label").agg(F.count(F.lit(1)).alias("n")))
+        labels = (cnt.groupBy("node")
+                  .agg(F.min(F.struct((-F.col("n")).alias("neg_n"),
+                                      F.col("label").alias("label")))
+                       .alias("b"))
+                  .select("node", F.col("b.label").alias("label"))
+                  .localCheckpoint())
+    return labels.select("node", F.col("label").alias("community"))

@@ -89,3 +89,49 @@ def test_triangle_count_known_graph(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}       # node 5: no triangle
     # global count = sum / 3
     assert sum(got.values()) // 3 == 4
+
+
+def _reference_label_prop(edges, n_iter):
+    """Sequential replay of the synchronous mode-label rounds."""
+    und = set()
+    for u, v in edges:
+        if u != v and u is not None and v is not None:
+            und.add((u, v))
+            und.add((v, u))
+    nodes = sorted({u for u, _ in und})
+    labels = {v: v for v in nodes}
+    for _ in range(n_iter):
+        nxt = {}
+        for v in nodes:
+            counts = {}
+            for a, b in und:
+                if a == v:
+                    lb = labels[b]
+                    counts[lb] = counts.get(lb, 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_sequential_replay(spark):
+    from ner_extractor_spark.operators.graph import label_propagation
+    # two cliques bridged by one edge + a self-loop + reversed dup
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"),
+             ("c", "x"), ("a", "a"), ("b", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, n_iter=4).collect()}
+    assert got == _reference_label_prop(edges, 4)
+
+
+def test_label_propagation_separates_disconnected_cliques(spark):
+    from ner_extractor_spark.operators.graph import label_propagation
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, n_iter=4).collect()}
+    left = {got[n] for n in "abc"}
+    right = {got[n] for n in "xyz"}
+    assert left == {"a"} and right == {"x"}
