@@ -392,6 +392,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.operators.graph import triangle_count
         return triangle_count(_triple_edges(spark, sf))
 
+    def skew_profile_surfaces(spark, sf):
+        # heavy-hitter profile of the entity-surface-form key — the
+        # exact skew key the north rule says to salt; sizes
+        # link.salt_explode's k from data
+        from ner_extractor_spark.operators.skew import key_skew_profile
+        return key_skew_profile(_mentions(spark, sf), "surface", top_k=10)
+
     def graph_communities(spark, sf):
         # mode-label-propagation communities over the entity graph:
         # fixed synchronous rounds, smallest-label tie-break — the
@@ -948,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed this round --------------------------------
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
+        "skew_profile_surfaces": skew_profile_surfaces,  # new r03
         "text_redact": text_redact,
         "kg_tag_linear": kg_tag_linear,
         "dedup_simhash": dedup_simhash,
@@ -1743,6 +1751,18 @@ adj AS (
 ),
 {_lp_rounds_sql(4)}
 SELECT node, label AS community FROM l4""",
+
+        "skew_profile_surfaces": f"""
+WITH {MEN_SQL},
+counts AS (
+  SELECT surface AS key, CAST(count(*) AS BIGINT) AS n
+  FROM men GROUP BY surface
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank,
+       key, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+FROM counts, tot
+ORDER BY n DESC, key LIMIT 10""",
 
         "kg_link_alias": f"""
 WITH {MEN_SQL},

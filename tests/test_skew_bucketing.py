@@ -93,3 +93,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_key_skew_profile_known_distribution(spark):
+    from ner_extractor_spark.operators.skew import key_skew_profile
+    rows = [("hot",)] * 50 + [("warm",)] * 30 + [("cold",)] * 20
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r["rank"], r["key"], r["n"], r["share"])
+           for r in key_skew_profile(df, "k", top_k=2).collect()]
+    assert got == [(1, "hot", 50, 0.5), (2, "warm", 30, 0.3)]
+
+
+def test_key_skew_profile_tie_breaks_on_key(spark):
+    from ner_extractor_spark.operators.skew import key_skew_profile
+    rows = [("b",)] * 3 + [("a",)] * 3 + [("c",)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    got = [r["key"] for r in key_skew_profile(df, "k", top_k=3).collect()]
+    assert got == ["a", "b", "c"]
+
+
+def test_key_skew_profile_topk_is_partial_not_global_sort(spark):
+    from ner_extractor_spark.operators.skew import key_skew_profile
+    df = spark.range(100).selectExpr("cast(id % 7 as string) as k")
+    plan = key_skew_profile(df, "k", top_k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the heavy-hitter cut must compile to the distributed partial
+    # top-k operator, never a full global sort of the key counts
+    assert "TakeOrderedAndProject" in plan
