@@ -918,6 +918,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.operators.lm import tfidf_topk
         return tfidf_topk(_docs(spark, sf), k=5)
 
+    def web_link_graph(spark, sf):
+        # domain link graph from raw html bytes: planted hrefs per doc
+        # (per-source target with doc_id%17 fan-out + a shared hub with
+        # canonicalization noise + a relative link that must drop);
+        # decode -> regexp_extract_all -> canonical_url -> domain rollup
+        from ner_extractor_spark.operators.weblinks import (
+            domain_link_graph, extract_links)
+        d = _docs(spark, sf)
+        html = F.encode(F.concat(
+            F.lit('<html><body><a href="https://'), F.col("source"),
+            F.lit('.Example/p/'), (F.col("doc_id") % 17).cast("string"),
+            F.lit('/"></a>'),
+            F.lit('<a href="https://hub.example:443/x?utm_source=t&b=1">'
+                  '</a><a href="/relative/path"></a><p>'),
+            F.col("text"), F.lit("</p></body></html>")), "UTF-8")
+        pages = d.select(
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".test/doc/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            html.alias("html"))
+        return domain_link_graph(extract_links(pages))
+
     def url_canonicalize(spark, sf):
         # web-corpus hygiene: canonical per-url identity (fragment /
         # case / default-port / trailing-slash / utm + param-order
@@ -956,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
+        "web_link_graph": web_link_graph,             # new r03
         "text_redact": text_redact,
         "kg_tag_linear": kg_tag_linear,
         "dedup_simhash": dedup_simhash,
@@ -2225,6 +2248,38 @@ WITH _urls AS (
 canon AS (""" + _CANON_URL_SQL + """)
 SELECT d.doc_id, d.u AS url_raw, c._out AS url_canon
 FROM _urls d JOIN canon c ON c._in = d.u""",
+
+        "web_link_graph": """
+WITH lpages AS (
+  SELECT 'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         '<html><body><a href="https://' || source || '.Example/p/'
+           || CAST(doc_id % 17 AS VARCHAR) || '/"></a>'
+           || '<a href="https://hub.example:443/x?utm_source=t&b=1"></a>'
+           || '<a href="/relative/path"></a><p>' || text
+           || '</p></body></html>' AS html
+  FROM documents
+),
+links AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+  FROM lpages
+),
+_urls AS (
+  SELECT src_url AS u FROM links UNION SELECT href FROM links
+),
+canon AS (""" + _CANON_URL_SQL + """),
+e AS (
+  SELECT regexp_extract(cs._out, '^[a-z]+://([^/:?#]+)', 1) AS src_domain,
+         regexp_extract(ch._out, '^[a-z]+://([^/:?#]+)', 1) AS dst_domain
+  FROM links l
+  JOIN canon cs ON cs._in = l.src_url
+  JOIN canon ch ON ch._in = l.href
+)
+SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n
+FROM e
+WHERE dst_domain != '' AND src_domain != ''
+GROUP BY src_domain, dst_domain""",
 
         "augment_entities": f"""
 WITH {MEN_SQL},

@@ -55,9 +55,12 @@ SELECT u AS _in,
        CASE WHEN cq = '' THEN base ELSE base || '?' || cq END AS _out
 FROM (
   SELECT u, regexp_replace(u5, '\?.*$', '') AS base,
-         array_to_string(list_sort(list_filter(
+         -- COALESCE: DuckDB's array_to_string([]) is NULL where
+         -- Spark's array_join([]) is '' — without it every URL whose
+         -- query is empty after filtering canonicalizes to NULL
+         COALESCE(array_to_string(list_sort(list_filter(
              string_split(regexp_extract(u5, '\?(.*)$', 1), '&'),
-             p -> NOT starts_with(p, 'utm_') AND p != '')), '&') AS cq
+             p -> NOT starts_with(p, 'utm_') AND p != '')), '&'), '') AS cq
   FROM (
     SELECT u, regexp_replace(regexp_replace(u4, '/+\?', '?'),
                              '/+$', '') AS u5

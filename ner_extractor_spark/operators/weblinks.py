@@ -1,0 +1,61 @@
+"""Hyperlink extraction and the domain link graph.
+
+A Common-Crawl-style corpus carries raw ``html``; the web link graph
+(who links to whom, aggregated to domains) is the classic derived
+artifact — it feeds PageRank-style domain authority (``graph.pagerank``
+composes directly on the edges returned here), spam-domain filtering,
+and crawl frontier scoring.
+
+Everything is JVM-side built-ins: ``decode`` + ``regexp_extract_all``
+over the html bytes, ``functions.urls.canonical_url`` on the targets,
+one groupBy for the edge weights.  No per-row Python, nothing that
+can't predicate-pushdown, and the href explode is the only row
+multiplier (bounded by links-per-page).
+
+Scale: the groupBy key (src_domain, dst_domain) is hub-skewed — big
+sites attract links from everywhere — but the aggregation is a count
+with map-side combine, so the hot edge collapses per partition before
+the shuffle (same posture as boilerplate's line-df count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ner_extractor_spark.functions.urls import canonical_url
+
+#: href attribute capture — double-quoted values, the overwhelmingly
+#: dominant form in real markup; deliberately lookaround-free so Java
+#: regex (Spark) and RE2 (DuckDB oracle) agree byte for byte.
+HREF_PATTERN = r'href="([^"]+)"'
+
+_DOMAIN = r"^[a-z]+://([^/:?#]+)"
+
+
+def page_domain(col) -> F.Column:
+    """Authority (host) part of an absolute, already-lowercased URL;
+    '' when the value is relative or unparseable."""
+    return F.regexp_extract(col, _DOMAIN, 1)
+
+
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(src_url, href) — one row per href occurrence in the raw html
+    (duplicates preserved: multiplicity is the edge weight signal)."""
+    return pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(F.regexp_extract_all(
+            F.decode(F.col(html_col), "UTF-8"),
+            F.lit(HREF_PATTERN), F.lit(1))).alias("href"))
+
+
+def domain_link_graph(links: DataFrame) -> DataFrame:
+    """(src_domain, dst_domain, n) — hrefs canonicalized first, then
+    rolled up to the domain level; relative links (no authority after
+    canonicalization) are dropped."""
+    e = links.select(
+        page_domain(canonical_url(F.col("src_url"))).alias("src_domain"),
+        page_domain(canonical_url(F.col("href"))).alias("dst_domain"))
+    return (e.filter((F.col("dst_domain") != "") & (F.col("src_domain") != ""))
+            .groupBy("src_domain", "dst_domain")
+            .agg(F.count(F.lit(1)).alias("n")))
