@@ -940,6 +940,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             html.alias("html"))
         return domain_link_graph(extract_links(pages))
 
+    def web_domain_authority(spark, sf):
+        # domain authority: deterministic fixed-round PageRank composed
+        # directly on the domain link graph — weblinks edges feed
+        # graph.pagerank unchanged (weighted edges distinct to the
+        # support set, same convention both engines)
+        from ner_extractor_spark.operators.graph import pagerank
+        edges = web_link_graph(spark, sf).select(
+            F.col("src_domain").alias("src"),
+            F.col("dst_domain").alias("dst"))
+        return pagerank(edges, n_iter=5, damping=0.85)
+
     def url_canonicalize(spark, sf):
         # web-corpus hygiene: canonical per-url identity (fragment /
         # case / default-port / trailing-slash / utm + param-order
@@ -979,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
         "web_link_graph": web_link_graph,             # new r03
+        "web_domain_authority": web_domain_authority,  # new r03
         "text_redact": text_redact,
         "kg_tag_linear": kg_tag_linear,
         "dedup_simhash": dedup_simhash,
@@ -1534,6 +1546,36 @@ def oracle_sql() -> dict[str, str]:
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     from ner_extractor_spark.functions.urls import \
         CANONICAL_URL_SQL as _CANON_URL_SQL
+
+    # shared link-graph CTE prefix (planted hrefs -> canonicalized
+    # domain edges); used by web_link_graph and web_domain_authority
+    _LINK_EDGES_SQL = """
+lpages AS (
+  SELECT 'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         '<html><body><a href="https://' || source || '.Example/p/'
+           || CAST(doc_id % 17 AS VARCHAR) || '/"></a>'
+           || '<a href="https://hub.example:443/x?utm_source=t&b=1"></a>'
+           || '<a href="/relative/path"></a><p>' || text
+           || '</p></body></html>' AS html
+  FROM documents
+),
+links AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+  FROM lpages
+),
+_urls AS (
+  SELECT src_url AS u FROM links UNION SELECT href FROM links
+),
+canon AS (""" + _CANON_URL_SQL + """),
+e0 AS (
+  SELECT regexp_extract(cs._out, '^[a-z]+://([^/:?#]+)', 1) AS src_domain,
+         regexp_extract(ch._out, '^[a-z]+://([^/:?#]+)', 1) AS dst_domain
+  FROM links l
+  JOIN canon cs ON cs._in = l.src_url
+  JOIN canon ch ON ch._in = l.href
+)"""
 
     return {
         "kg_extract_sentences": f"""
@@ -2249,37 +2291,18 @@ canon AS (""" + _CANON_URL_SQL + """)
 SELECT d.doc_id, d.u AS url_raw, c._out AS url_canon
 FROM _urls d JOIN canon c ON c._in = d.u""",
 
-        "web_link_graph": """
-WITH lpages AS (
-  SELECT 'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR)
-           AS url,
-         '<html><body><a href="https://' || source || '.Example/p/'
-           || CAST(doc_id % 17 AS VARCHAR) || '/"></a>'
-           || '<a href="https://hub.example:443/x?utm_source=t&b=1"></a>'
-           || '<a href="/relative/path"></a><p>' || text
-           || '</p></body></html>' AS html
-  FROM documents
-),
-links AS (
-  SELECT url AS src_url,
-         unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
-  FROM lpages
-),
-_urls AS (
-  SELECT src_url AS u FROM links UNION SELECT href FROM links
-),
-canon AS (""" + _CANON_URL_SQL + """),
-e AS (
-  SELECT regexp_extract(cs._out, '^[a-z]+://([^/:?#]+)', 1) AS src_domain,
-         regexp_extract(ch._out, '^[a-z]+://([^/:?#]+)', 1) AS dst_domain
-  FROM links l
-  JOIN canon cs ON cs._in = l.src_url
-  JOIN canon ch ON ch._in = l.href
-)
+        "web_link_graph": "WITH " + _LINK_EDGES_SQL + """
 SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n
-FROM e
+FROM e0
 WHERE dst_domain != '' AND src_domain != ''
 GROUP BY src_domain, dst_domain""",
+
+        "web_domain_authority": "WITH " + _LINK_EDGES_SQL + """,
+edges AS MATERIALIZED (
+  SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM e0
+  WHERE dst_domain != '' AND src_domain != ''
+)""" + _pagerank_sql(5, 0.85) + """
+SELECT node, rank FROM pr5""",
 
         "augment_entities": f"""
 WITH {MEN_SQL},
