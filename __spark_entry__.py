@@ -619,6 +619,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(w,) for w in CMS_TERMS], "term string")
         return bloom_contains(build_bloom(toks), terms)
 
+    def sketch_hll(spark, sf):
+        # deterministic HyperLogLog registers over the same token
+        # stream — the register table is integer-exact cross-engine;
+        # the estimator (hll_estimate) is pytest-pinned vs true counts
+        from ner_extractor_spark.operators.sketch import build_hll
+        toks = _docs(spark, sf).select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            .alias("token"))
+        return build_hll(toks)
+
     def text_quality_filter(spark, sf):
         # Gopher-style hard-rule keep/drop with first-violation reason
         from ner_extractor_spark.functions.text import quality_filter
@@ -991,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
         "web_link_graph": web_link_graph,             # new r03
         "web_domain_authority": web_domain_authority,  # new r03
+        "sketch_hll": sketch_hll,                     # new r03
         "text_redact": text_redact,
         "kg_tag_linear": kg_tag_linear,
         "dedup_simhash": dedup_simhash,
@@ -2498,6 +2509,39 @@ probes AS (
 SELECT p.term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est
 FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.cell = p.cell
 GROUP BY p.term""",
+
+        "sketch_hll": f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+hh AS (
+  SELECT md5(token) AS h FROM tok
+),
+rr AS (
+  SELECT {_hex4_fold_sql("h")} % 64 AS reg,
+         substring(h, 5, 16) AS tail
+  FROM hh
+),
+zz AS (
+  SELECT reg, tail,
+         length(regexp_extract(tail, '^(0*)', 1)) AS z
+  FROM rr
+),
+rho AS (
+  SELECT reg,
+         CASE WHEN z >= 16 THEN 65
+              ELSE z * 4
+                   + CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                          WHEN v >= 2 THEN 2 ELSE 3 END
+                   + 1 END AS rho_raw
+  FROM (SELECT reg, z,
+               strpos('0123456789abcdef', substring(tail, z + 1, 1)) - 1
+                 AS v
+        FROM zz)
+)
+SELECT reg, CAST(max(least(rho_raw, 40)) AS INT) AS max_rho
+FROM rho GROUP BY reg""",
 
         "sketch_bloom": f"""
 WITH tok AS (

@@ -138,3 +138,61 @@ def bloom_contains(bloom: DataFrame, terms: DataFrame,
             .select("term",
                     (F.coalesce("n_set", F.lit(0)) == k)
                     .alias("maybe_present")))
+
+
+# -- HyperLogLog (distinct cardinality) -------------------------------------
+
+HLL_B = 6          # 2^6 = 64 registers (4-hex-char fold headroom)
+HLL_RHO_CAP = 40   # keeps 2^(CAP - rho) sums exactly representable
+
+
+def build_hll(items: DataFrame, col: str = "token",
+              b: int = HLL_B) -> DataFrame:
+    """Deterministic HyperLogLog registers: (reg, max_rho).
+
+    Flajolet et al.'s estimator with the engine-portable md5 hash
+    discipline of build_cms: register = 4-hex-char fold mod m, rho =
+    1 + leading zero bits of the next 64 hash bits (hex chars 5..20),
+    capped at HLL_RHO_CAP so every downstream 2^(CAP-rho) term is an
+    exact integer (the cap costs nothing below ~2^40 distincts).
+
+    Scale shape: one groupBy on ≤ m register ids with max() partial
+    aggregation — bounded state, mergeable (union sketches and re-max
+    on reg), the same posture as the CMS/Bloom siblings.  Spark's own
+    approx_count_distinct is the production fast path; this sketch
+    exists where the register table itself must be portable and
+    cross-engine reproducible.
+    """
+    m = 1 << b
+    if 65536 % m:
+        raise ValueError("2^b must divide 65536 (4-hex-char hash fold)")
+    h = F.md5(F.col(col))
+    reg = F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("int"), F.lit(m))
+    tail = F.substring(h, 5, 16)
+    z = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    v = F.conv(F.substr(tail, z + F.lit(1), F.lit(1)), 16, 10).cast("int")
+    lz_nib = (F.when(v >= 8, F.lit(0)).when(v >= 4, F.lit(1))
+              .when(v >= 2, F.lit(2)).otherwise(F.lit(3)))
+    rho = F.least(
+        F.when(z >= 16, F.lit(65)).otherwise(z * 4 + lz_nib + 1),
+        F.lit(HLL_RHO_CAP))
+    return (items.select(reg.alias("reg"), rho.alias("rho"))
+            .groupBy("reg").agg(F.max("rho").alias("max_rho")))
+
+
+def hll_estimate(registers: DataFrame, b: int = HLL_B) -> float:
+    """Cardinality estimate from a build_hll register table (driver-side
+    — the table is ≤ 2^b rows by construction).  Standard HLL: harmonic
+    mean with alpha_m bias correction, linear counting when E ≤ 2.5m
+    and empty registers remain."""
+    import math
+    m = 1 << b
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    got = {r["reg"]: r["max_rho"] for r in registers.collect()}
+    s = sum(2.0 ** -got.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = m - len(got)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

@@ -88,3 +88,67 @@ def test_cms_mismatched_probe_fails_loudly(spark):
     # non-fold width rejected up front, same as build_cms
     with pytest.raises(ValueError):
         cms_estimate(cms, terms, width=1000)
+
+
+# -- HyperLogLog ------------------------------------------------------------
+
+def _ref_hll(tokens, b=6):
+    """Sequential replica of build_hll's register derivation."""
+    import hashlib
+    m = 1 << b
+    regs = {}
+    for t in tokens:
+        h = hashlib.md5(t.encode()).hexdigest()
+        reg = int(h[:4], 16) % m
+        tail = h[4:20]
+        z = len(tail) - len(tail.lstrip("0"))
+        if z >= 16:
+            rho = 65
+        else:
+            v = int(tail[z], 16)
+            lz = 0 if v >= 8 else (1 if v >= 4 else (2 if v >= 2 else 3))
+            rho = z * 4 + lz + 1
+        rho = min(rho, 40)
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_sequential_replica(spark):
+    from ner_extractor_spark.operators.sketch import build_hll
+    toks = [f"tok{i}" for i in range(200)] + ["tok0", "tok1"]  # dups
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    got = {r["reg"]: r["max_rho"] for r in build_hll(df).collect()}
+    assert got == _ref_hll(toks)
+
+
+def test_hll_is_multiset_invariant(spark):
+    from ner_extractor_spark.operators.sketch import build_hll
+    once = spark.createDataFrame([("a",), ("b",)], "token string")
+    thrice = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("a",)], "token string")
+    assert sorted(map(tuple, build_hll(once).collect())) == \
+        sorted(map(tuple, build_hll(thrice).collect()))
+
+
+def test_hll_estimate_within_expected_error(spark):
+    from ner_extractor_spark.operators.sketch import build_hll, hll_estimate
+    n = 500
+    df = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(n)], "token string")
+    est = hll_estimate(build_hll(df))
+    # m=64 -> standard error ~1.04/sqrt(64) = 13%; allow ~2.7 sigma
+    assert abs(est - n) / n < 0.35
+
+
+def test_hll_merge_is_register_max(spark):
+    from ner_extractor_spark.operators.sketch import build_hll
+    from pyspark.sql import functions as F
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)],
+                              "token string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)],
+                              "token string")
+    merged = (build_hll(a).unionByName(build_hll(b))
+              .groupBy("reg").agg(F.max("max_rho").alias("max_rho")))
+    direct = build_hll(a.unionByName(b))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
