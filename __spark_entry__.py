@@ -928,13 +928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.operators.lm import tfidf_topk
         return tfidf_topk(_docs(spark, sf), k=5)
 
-    def web_link_graph(spark, sf):
-        # domain link graph from raw html bytes: planted hrefs per doc
-        # (per-source target with doc_id%17 fan-out + a shared hub with
-        # canonicalization noise + a relative link that must drop);
-        # decode -> regexp_extract_all -> canonical_url -> domain rollup
-        from ner_extractor_spark.operators.weblinks import (
-            domain_link_graph, extract_links)
+    def _link_pages(spark, sf):
+        # planted hrefs per doc: per-source target with doc_id%17
+        # fan-out + a shared hub with canonicalization noise + a
+        # relative link that must drop
         d = _docs(spark, sf)
         html = F.encode(F.concat(
             F.lit('<html><body><a href="https://'), F.col("source"),
@@ -943,12 +940,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit('<a href="https://hub.example:443/x?utm_source=t&b=1">'
                   '</a><a href="/relative/path"></a><p>'),
             F.col("text"), F.lit("</p></body></html>")), "UTF-8")
-        pages = d.select(
+        return d.select(
             F.concat(F.lit("https://"), F.col("source"),
                      F.lit(".test/doc/"),
                      F.col("doc_id").cast("string")).alias("url"),
             html.alias("html"))
-        return domain_link_graph(extract_links(pages))
+
+    def web_link_graph(spark, sf):
+        # domain link graph from raw html bytes:
+        # decode -> regexp_extract_all -> canonical_url -> domain rollup
+        from ner_extractor_spark.operators.weblinks import (
+            domain_link_graph, extract_links)
+        return domain_link_graph(extract_links(_link_pages(spark, sf)))
+
+    def skew_profile_domains(spark, sf):
+        # the OTHER skew key the north rule names: domain — profile the
+        # dst side of the extracted link graph (the hub domain owns
+        # half the edges by construction: a measured hot key)
+        from ner_extractor_spark.functions.urls import canonical_url
+        from ner_extractor_spark.operators.skew import key_skew_profile
+        from ner_extractor_spark.operators.weblinks import (extract_links,
+                                                            page_domain)
+        links = extract_links(_link_pages(spark, sf))
+        doms = (links.select(
+            page_domain(canonical_url(F.col("href"))).alias("domain"))
+            .filter(F.col("domain") != ""))
+        return key_skew_profile(doms, "domain", top_k=5)
 
     def web_domain_authority(spark, sf):
         # domain authority: deterministic fixed-round PageRank composed
@@ -1002,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_graph": web_link_graph,             # new r03
         "web_domain_authority": web_domain_authority,  # new r03
         "sketch_hll": sketch_hll,                     # new r03
+        "skew_profile_domains": skew_profile_domains,  # new r03
         "text_redact": text_redact,
         "kg_tag_linear": kg_tag_linear,
         "dedup_simhash": dedup_simhash,
@@ -2307,6 +2325,17 @@ SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n
 FROM e0
 WHERE dst_domain != '' AND src_domain != ''
 GROUP BY src_domain, dst_domain""",
+
+        "skew_profile_domains": "WITH " + _LINK_EDGES_SQL + """,
+counts AS (
+  SELECT dst_domain AS key, CAST(count(*) AS BIGINT) AS n
+  FROM e0 WHERE dst_domain != '' GROUP BY dst_domain
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank,
+       key, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+FROM counts, tot
+ORDER BY n DESC, key LIMIT 5""",
 
         "web_domain_authority": "WITH " + _LINK_EDGES_SQL + """,
 edges AS MATERIALIZED (
