@@ -135,3 +135,15 @@ def test_label_propagation_separates_disconnected_cliques(spark):
     left = {got[n] for n in "abc"}
     right = {got[n] for n in "xyz"}
     assert left == {"a"} and right == {"x"}
+
+
+def test_label_propagation_argmax_is_aggregate_not_window(spark):
+    from ner_extractor_spark.operators.graph import label_propagation
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    plan = label_propagation(df, n_iter=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the per-node mode label is min(struct(-n, label)) — a plain
+    # aggregate; a Window-based rank here would re-sort every node's
+    # candidate labels each round
+    assert "Window" not in plan
