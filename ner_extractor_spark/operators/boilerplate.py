@@ -66,10 +66,15 @@ def strip_boilerplate_lines(docs: DataFrame, *, id_col: str = "doc_id",
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
-    boiler = (line_document_frequency(
-        docs, id_col=id_col, text_col=text_col, min_len=min_len)
-        .filter(F.col("line_df") >= min_df)
-        .select("line"))
+    # df computed from the SAME exploded relation (not a second
+    # scan+split via line_document_frequency) — one explode feeds both
+    # the boilerplate set and the reassembly
+    boiler = (lines
+              .filter(F.length("line") >= min_len)
+              .groupBy("line")
+              .agg(F.countDistinct(id_col).alias("line_df"))
+              .filter(F.col("line_df") >= min_df)
+              .select("line"))
     kept = lines.join(boiler, "line", "left_anti")
     reassembled = (kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -56,9 +56,11 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         try:
             sdf = fn(spark, sf)
             scols = sdf.columns
@@ -94,7 +96,8 @@ def main():
         else:
             print(f"[OK] {name}: {len(sr)} rows")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} matched")
+    print(f"\n{n_checked - len(failures)}/{n_checked} matched"
+          + ("" if not only else f" (subset of {len(qs)})"))
     spark.stop()
     sys.exit(1 if failures else 0)
 
