@@ -29,8 +29,13 @@ def key_skew_profile(df: DataFrame, key_col: str,
     units the hottest key occupies — the lower bound for a useful
     ``salt_explode`` k on that key.
     """
+    # materialize the per-key counts once: both the top-k and the
+    # total derive from them, and without the barrier Catalyst would
+    # run the (possibly expensive) upstream pipeline twice — same
+    # lineage-barrier discipline as cc.py / graph.pagerank
     counts = (df.groupBy(F.col(key_col).alias("key"))
-              .agg(F.count(F.lit(1)).alias("n")))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .localCheckpoint())
     total = counts.agg(F.sum("n").alias("total"))
     top = counts.orderBy(F.desc("n"), F.asc("key")).limit(top_k)
     rank_w = Window.orderBy(F.desc("n"), F.asc("key"))
