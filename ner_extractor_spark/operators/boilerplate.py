@@ -68,7 +68,11 @@ def strip_boilerplate_lines(docs: DataFrame, *, id_col: str = "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
     # df computed from the SAME exploded relation (not a second
     # scan+split via line_document_frequency) — one explode feeds both
-    # the boilerplate set and the reassembly
+    # the boilerplate set and the reassembly.  Deliberately NOT
+    # localCheckpoint-ed (contrast skew.key_skew_profile): `lines` is
+    # the corpus exploded — bigger than the input — and its lineage is
+    # map-only (scan -> split -> posexplode), so recomputing the two
+    # consumers' branches is cheaper at scale than materializing it
     boiler = (lines
               .filter(F.length("line") >= min_len)
               .groupBy("line")
