@@ -619,6 +619,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(w,) for w in CMS_TERMS], "term string")
         return bloom_contains(build_bloom(toks), terms)
 
+    def text_dup_ngrams(spark, sf):
+        # cross-document duplicate n-gram fraction (Gopher/RefinedWeb
+        # quality signal) — between within-doc repetition and
+        # whole-doc dedup in granularity
+        from ner_extractor_spark.operators.dedup import dup_ngram_fraction
+        return dup_ngram_fraction(_docs(spark, sf))
+
     def sketch_hll(spark, sf):
         # deterministic HyperLogLog registers over the same token
         # stream — the register table is integer-exact cross-engine;
@@ -1020,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_authority": web_domain_authority,  # new r03
         "sketch_hll": sketch_hll,                     # new r03
         "skew_profile_domains": skew_profile_domains,  # new r03
+        "text_dup_ngrams": text_dup_ngrams,           # new r03
         "text_redact": text_redact,
         "kg_tag_linear": kg_tag_linear,
         "dedup_simhash": dedup_simhash,
@@ -2538,6 +2546,19 @@ probes AS (
 SELECT p.term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est
 FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.cell = p.cell
 GROUP BY p.term""",
+
+        "text_dup_ngrams": "WITH " + _shingle_sql().lstrip() + """,
+sdf AS (
+  SELECT shingle, count(DISTINCT doc_id) AS sdf FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN f.sdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       round(CAST(sum(CASE WHEN f.sdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_fraction
+FROM sh s JOIN sdf f USING (shingle)
+GROUP BY s.doc_id""",
 
         "sketch_hll": f"""
 WITH tok AS (

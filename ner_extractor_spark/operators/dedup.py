@@ -305,3 +305,36 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     return (pairs.withColumn("cosine", F.round(cos, 6))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", "cosine"))
+
+
+def dup_ngram_fraction(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """Cross-document duplicate n-gram fraction (the Gopher/RefinedWeb
+    quality signal): per document, the share of its DISTINCT word
+    n-grams that occur in at least one OTHER document.
+
+    Sits between ``text.repetition_features`` (within-doc) and the
+    whole-document families above: a page that is 60% templated prose
+    stitched around unique filler passes exact/MinHash dedup and
+    within-doc repetition, but lights up here.
+
+    Returns (id_col, n_ngrams, n_dup, dup_fraction).
+
+    Scale shape: explode distinct shingles (one row per (doc, shingle)),
+    df-count on the shingle with map-side combine, join the counts back
+    on the shingle key, per-doc aggregate — the boilerplate/line-df
+    posture at n-gram granularity; no pairwise joins anywhere.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    sdf = sh.groupBy("shingle").agg(
+        F.countDistinct(id_col).alias("sdf"))
+    is_dup = F.when(F.col("sdf") >= 2, F.lit(1)).otherwise(F.lit(0))
+    return (sh.join(sdf, "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.sum(is_dup).alias("n_dup"))
+            .select(id_col, "n_ngrams", "n_dup",
+                    F.round(F.col("n_dup") / F.col("n_ngrams"), 6)
+                    .alias("dup_fraction")))

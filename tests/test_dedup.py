@@ -142,3 +142,29 @@ def test_embedding_near_dups_default_plan_has_no_cartesian(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dup_ngram_fraction_known_corpus(spark):
+    from ner_extractor_spark.operators.dedup import dup_ngram_fraction
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),      # shingles: "a b c", "b c d"
+         (2, "a b c x"),      # shingles: "a b c", "b c x"
+         (3, "p q r")],       # single shingle, unique
+        "doc_id int, text string")
+    got = {r["doc_id"]: r for r in dup_ngram_fraction(docs).collect()}
+    assert (got[1]["n_ngrams"], got[1]["n_dup"],
+            got[1]["dup_fraction"]) == (2, 1, 0.5)
+    assert got[2]["dup_fraction"] == 0.5
+    assert (got[3]["n_ngrams"], got[3]["dup_fraction"]) == (1, 0.0)
+
+
+def test_dup_ngram_fraction_short_doc_and_within_doc_repeat(spark):
+    from ner_extractor_spark.operators.dedup import dup_ngram_fraction
+    # a shingle repeated WITHIN one doc is not a cross-doc duplicate
+    docs = spark.createDataFrame(
+        [(1, "w w w w w"),    # all shingles identical -> 1 distinct
+         (2, "hi")],          # shorter than n -> one degenerate shingle
+        "doc_id int, text string")
+    got = {r["doc_id"]: r for r in dup_ngram_fraction(docs).collect()}
+    assert (got[1]["n_ngrams"], got[1]["n_dup"]) == (1, 0)
+    assert (got[2]["n_ngrams"], got[2]["n_dup"]) == (1, 0)
