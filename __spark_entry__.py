@@ -619,6 +619,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(w,) for w in CMS_TERMS], "term string")
         return bloom_contains(build_bloom(toks), terms)
 
+    def corpus_curation(spark, sf):
+        # the end-to-end keep/drop verdict: quality rules -> exact-dup
+        # keeper -> cross-doc n-gram dup -> LM gate, first-violation
+        # reason; thresholds calibrated to this corpus' distributions
+        from ner_extractor_spark.operators.curation import curate_corpus
+        return curate_corpus(_docs(spark, sf),
+                             dup_threshold=0.9, lm_threshold=-5.45)
+
     def text_dup_ngrams(spark, sf):
         # cross-document duplicate n-gram fraction (Gopher/RefinedWeb
         # quality signal) — between within-doc repetition and
@@ -1028,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": sketch_hll,                     # new r03
         "skew_profile_domains": skew_profile_domains,  # new r03
         "text_dup_ngrams": text_dup_ngrams,           # new r03
+        "corpus_curation": corpus_curation,           # new r03
         "text_redact": text_redact,
         "kg_tag_linear": kg_tag_linear,
         "dedup_simhash": dedup_simhash,
@@ -2546,6 +2555,94 @@ probes AS (
 SELECT p.term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est
 FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.cell = p.cell
 GROUP BY p.term""",
+
+        "corpus_curation": r"""
+WITH qt AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS tl,
+         string_split_regex(trim(lower(text)), '\s+') AS tll
+  FROM documents
+),
+qf AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(tl) END AS n,
+         CAST(len(text) AS DOUBLE) / greatest(len(tl), 1) AS mean_len,
+         CAST(len(list_distinct(tl)) AS DOUBLE) / greatest(len(tl), 1)
+           AS uniq,
+         CAST(len(list_filter(tll, x -> x IN (""" + _SW_EN + r""")))
+              AS DOUBLE) / len(tll) AS sw
+  FROM qt
+),
+qr AS (
+  SELECT doc_id,
+         CASE WHEN n < 5 THEN 'too_short'
+              WHEN n > 100000 THEN 'too_long'
+              WHEN mean_len < 2.0 THEN 'tokens_too_short'
+              WHEN mean_len > 12.0 THEN 'tokens_too_long'
+              WHEN sw < 0.01 THEN 'no_stopwords'
+              WHEN uniq < 0.2 THEN 'too_repetitive'
+              ELSE 'ok' END AS q_reason
+  FROM qf
+),
+hx AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+keep0 AS (SELECT h, min(doc_id) AS keeper FROM hx GROUP BY h),
+nt AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ')) AS t
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, substring(t, i, 3) AS tri
+  FROM nt, unnest(generate_series(1, greatest(len(t) - 2, 1))) g(i)
+),
+model AS (SELECT tri, count(*) AS c FROM tris GROUP BY tri),
+norm AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                count(*) AS n_distinct FROM model),
+lm AS (
+  SELECT d.doc_id,
+         round(avg(ln((coalesce(m.c, 0) + 1.0)
+                      / (norm.n_total + norm.n_distinct))), 6) AS lm_score
+  FROM tris d LEFT JOIN model m USING (tri), norm
+  GROUP BY d.doc_id
+),
+dn AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS tl
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tl[i:least(i + 2, len(tl))], ' ') AS shingle
+  FROM dn, unnest(generate_series(1, greatest(len(tl) - 2, 1))) t(i)
+),
+sdf AS (
+  SELECT shingle, count(DISTINCT doc_id) AS sdf FROM sh GROUP BY shingle
+),
+dupf AS (
+  SELECT s.doc_id,
+         round(CAST(sum(CASE WHEN f.sdf >= 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS dup_fraction
+  FROM sh s JOIN sdf f USING (shingle)
+  GROUP BY s.doc_id
+),
+fin AS (
+  SELECT q.doc_id,
+         CASE WHEN q.q_reason != 'ok' THEN q.q_reason
+              WHEN x.doc_id != k.keeper THEN 'exact_duplicate'
+              WHEN d.dup_fraction >= 0.9 THEN 'dup_ngrams'
+              WHEN l.lm_score < -5.45 THEN 'lm_low_quality'
+              ELSE 'ok' END AS reason
+  FROM qr q
+  JOIN hx x ON x.doc_id = q.doc_id
+  JOIN keep0 k USING (h)
+  JOIN lm l ON l.doc_id = q.doc_id
+  JOIN dupf d ON d.doc_id = q.doc_id
+)
+SELECT doc_id, reason = 'ok' AS keep, reason FROM fin""",
 
         "text_dup_ngrams": "WITH " + _shingle_sql().lstrip() + """,
 sdf AS (

@@ -1,0 +1,85 @@
+"""End-to-end corpus curation (operators/curation.py): rule order and
+consistency with the component operators it composes."""
+
+from pyspark.sql import functions as F
+
+from ner_extractor_spark.operators.curation import curate_corpus
+
+DOCS = [
+    # healthy: stopwords present, unique tokens, sane lengths
+    (1, "the quick brown fox jumps over a lazy dog today"),
+    (2, "a storm hit the coast and traders met in the city"),
+    # exact duplicates of each other (pass quality): 4 keeps, 5 drops
+    (4, "the market rallied for nine straight days in a row"),
+    (5, "the market rallied for nine straight days in a row"),
+    # near-duplicate of doc 1: shares most 3-gram shingles
+    (6, "the quick brown fox jumps over a lazy dog tonight"),
+    # too short: quality rule fires FIRST whatever else is true
+    (7, "too short"),
+    (8, "too short"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_quality_rule_outranks_exact_duplicate(spark):
+    got = {r["doc_id"]: r["reason"]
+           for r in curate_corpus(_df(spark)).collect()}
+    # docs 7/8 are identical AND too short: the quality reason wins
+    assert got[7] == "too_short" and got[8] == "too_short"
+
+
+def test_exact_duplicate_keeps_min_id(spark):
+    # dup_threshold > 1 disables the (symmetric) n-gram rule so the
+    # keep-one exact-dedup behavior shows through
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in curate_corpus(_df(spark),
+                                  dup_threshold=1.01).collect()}
+    assert got[4] == (True, "ok")
+    assert got[5] == (False, "exact_duplicate")
+
+
+def test_ngram_rule_is_symmetric_over_exact_copies(spark):
+    # at a threshold <= 1 the keeper of an exact-dup group ALSO trips
+    # the n-gram rule (its content is 100% duplicated) — the documented
+    # Gopher semantic; the non-keeper is labeled by the earlier rule
+    got = {r["doc_id"]: r["reason"]
+           for r in curate_corpus(_df(spark)).collect()}
+    assert got[4] == "dup_ngrams"
+    assert got[5] == "exact_duplicate"
+
+
+def test_dup_ngram_rule_catches_near_duplicate(spark):
+    # with a threshold under their shared-shingle fraction, the LATER
+    # near-dup doc still passes quality and exact-dedup but trips the
+    # n-gram rule; its source doc (1) trips it too — the rule is
+    # symmetric by design (curation drops both, dedup_resolve picks
+    # keepers for true duplicates)
+    got = {r["doc_id"]: r["reason"]
+           for r in curate_corpus(_df(spark),
+                                  dup_threshold=0.6).collect()}
+    assert got[6] == "dup_ngrams" and got[1] == "dup_ngrams"
+
+
+def test_lm_gate_uses_threshold(spark):
+    from ner_extractor_spark.operators.lm import (trigram_logprob,
+                                                  trigram_model)
+    df = _df(spark)
+    scores = {r["doc_id"]: r["lm_score"] for r in
+              trigram_logprob(df, trigram_model(df)).collect()}
+    # pick a threshold that splits the healthy docs deterministically
+    cut = sorted(scores.values())[len(scores) // 2]
+    got = {r["doc_id"]: r["reason"]
+           for r in curate_corpus(df, dup_threshold=2.0,
+                                  lm_threshold=cut).collect()}
+    for d, s in scores.items():
+        if got[d] in ("ok", "lm_low_quality"):
+            assert (got[d] == "lm_low_quality") == (s < cut)
+
+
+def test_every_document_gets_exactly_one_row(spark):
+    out = curate_corpus(_df(spark))
+    assert out.count() == len(DOCS)
+    assert out.select("doc_id").distinct().count() == len(DOCS)
