@@ -64,3 +64,25 @@ def test_document_frequency_counts_distinct_docs(spark):
             for r in line_document_frequency(df).collect()}
     # repeated within doc 1 counts once: df = 2 distinct docs, not 3
     assert freq[FOOTER] == 2
+
+
+def test_identity_on_duplicate_free_corpus(spark):
+    # property: when no line crosses documents, stripping is the
+    # identity (n_kept == n_lines, clean_text == text) — checked over a
+    # seeded random multi-line corpus in one Spark pass
+    import random
+    rng = random.Random(7)
+    rows = []
+    for d in range(60):
+        n_lines = rng.randint(1, 6)
+        lines = [f"doc{d} line{i} " + " ".join(
+            rng.choice("abcdefgh") for _ in range(rng.randint(1, 5)))
+            for i in range(n_lines)]
+        rows.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(df).collect()}
+    orig = dict(rows)
+    assert len(out) == len(rows)
+    for d, text in orig.items():
+        assert out[d]["clean_text"] == text
+        assert out[d]["n_kept"] == out[d]["n_lines"]
