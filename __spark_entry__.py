@@ -1715,9 +1715,9 @@ men2 AS (
   SELECT surface || 's' FROM men WHERE sent_id % 5 = 0
 ),
 resid AS (
-  SELECT DISTINCT trim(regexp_replace(lower(surface), '\\s+', ' ')) AS s
+  SELECT DISTINCT trim(regexp_replace(lower(surface), '\\s+', ' ', 'g')) AS s
   FROM men2
-  WHERE trim(regexp_replace(lower(surface), '\\s+', ' '))
+  WHERE trim(regexp_replace(lower(surface), '\\s+', ' ', 'g'))
         NOT IN ('spark', 'customer join')
 ),
 shn AS (
@@ -1772,7 +1772,10 @@ GROUP BY 1, 2, 3""",
         "kg_negative_samples": f"""
 WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
 pool AS (
-  SELECT obj_label AS lbl, list_sort(list(DISTINCT obj_surface)) AS pl
+  SELECT obj_label AS lbl,
+         -- mirror Spark's pool_cap=10000 slice (ADVICE r03): both
+         -- engines must index the identical bounded pool
+         list_sort(list(DISTINCT obj_surface))[1:10000] AS pl
   FROM tri GROUP BY obj_label
 ),
 fan AS (
@@ -2277,7 +2280,7 @@ FROM s""",
 
         "text_trigram_lm": r"""
 WITH nt AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ')) AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
   FROM documents
 ),
 tris AS (
@@ -2299,7 +2302,7 @@ WITH toks AS (
   SELECT doc_id, t AS term
   FROM (SELECT doc_id,
                unnest(string_split(trim(regexp_replace(lower(text),
-                                                       '\s+', ' ')), ' ')) AS t
+                                              '\s+', ' ', 'g')), ' ')) AS t
         FROM documents)
   WHERE t != ''
 ),
@@ -2591,7 +2594,7 @@ hx AS (
 ),
 keep0 AS (SELECT h, min(doc_id) AS keeper FROM hx GROUP BY h),
 nt AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ')) AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
   FROM documents
 ),
 tris AS (

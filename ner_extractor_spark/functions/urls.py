@@ -35,9 +35,12 @@ def canonical_url(col):
     # 3. default ports (group 2 optional: bare "http://h:80" also strips)
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?].*)?$", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?].*)?$", r"$1$2")
-    # 4. trailing path slashes (before the query, and at end of string)
+    # 4. trailing path slashes: before the query always; at end of
+    #    string ONLY when there is no query — a slash ending a query
+    #    param value ('?a=b/') is data, and rewriting it would break the
+    #    module's no-param-value-rewriting conservatism (ADVICE r03)
     u = F.regexp_replace(u, r"/+\?", "?")
-    u = F.regexp_replace(u, r"/+$", "")
+    u = F.when(u.contains("?"), u).otherwise(F.regexp_replace(u, r"/+$", ""))
     # 5. query params: drop utm_*, byte-sort the rest
     q = F.regexp_extract(u, r"\?(.*)$", 1)
     base = F.regexp_replace(u, r"\?.*$", "")
@@ -62,9 +65,11 @@ FROM (
              string_split(regexp_extract(u5, '\?(.*)$', 1), '&'),
              p -> NOT starts_with(p, 'utm_') AND p != '')), '&'), '') AS cq
   FROM (
-    SELECT u, regexp_replace(regexp_replace(u4, '/+\?', '?'),
-                             '/+$', '') AS u5
+    SELECT u, CASE WHEN contains(u4q, '?') THEN u4q
+                   ELSE regexp_replace(u4q, '/+$', '') END AS u5
     FROM (
+      SELECT u, regexp_replace(u4, '/+\?', '?') AS u4q
+      FROM (
       SELECT u, regexp_replace(regexp_replace(u2,
                  '^(http://[^/:?#]+):80([/?].*)?$', '\1\2'),
                  '^(https://[^/:?#]+):443([/?].*)?$', '\1\2') AS u4
@@ -77,5 +82,6 @@ FROM (
         FROM (SELECT u, regexp_replace(u, '#.*$', '') AS u1 FROM _urls)
       )
     )
+  )
   )
 )"""

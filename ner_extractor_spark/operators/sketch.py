@@ -70,7 +70,9 @@ def cms_estimate(cms: DataFrame, terms: DataFrame,
     params out-of-band if that direction matters.)"""
     if 65536 % width:
         raise ValueError("width must divide 65536 (4-hex-char hash fold)")
-    keyed = terms.select(F.col(term_col).alias("term"))
+    # dedupe first: min() makes the estimate robust to duplicate input
+    # terms, but the probe fan-out (and join) shouldn't pay k× per copy
+    keyed = terms.select(F.col(term_col).alias("term")).distinct()
     probes = None
     for r in range(depth):
         p = keyed.select("term", F.lit(r).alias("row"),
@@ -123,10 +125,15 @@ def bloom_contains(bloom: DataFrame, terms: DataFrame,
     """(term) rows -> (term, maybe_present): true iff ALL k probe bits
     are set — no false negatives ever; false positives at the classic
     (1 - e^{-kn/m})^k rate.  n_bits/k MUST match the build (same
-    contract as cms_estimate)."""
+    contract as cms_estimate).
+
+    Probes are fanned out from the DEDUPED term set: a duplicated input
+    term would contribute k rows per occurrence, making n_set a multiple
+    of k and the ``== k`` membership test falsely negative — violating
+    the filter's core contract (ADVICE r03)."""
     if 65536 % n_bits:
         raise ValueError("n_bits must divide 65536 (4-hex-char hash fold)")
-    keyed = terms.select(F.col(term_col).alias("term"))
+    keyed = terms.select(F.col(term_col).alias("term")).distinct()
     probes = None
     for i in range(k):
         p = keyed.select("term",
@@ -134,7 +141,7 @@ def bloom_contains(bloom: DataFrame, terms: DataFrame,
         probes = p if probes is None else probes.unionByName(p)
     hits = (probes.join(bloom, on="bit", how="left_semi")
             .groupBy("term").agg(F.count(F.lit(1)).alias("n_set")))
-    return (keyed.distinct().join(hits, on="term", how="left")
+    return (keyed.join(hits, on="term", how="left")
             .select("term",
                     (F.coalesce("n_set", F.lit(0)) == k)
                     .alias("maybe_present")))

@@ -71,6 +71,25 @@ def test_bloom_no_false_negatives_and_merge(spark):
         sorted(r["bit"] for r in whole.collect())
 
 
+def test_bloom_duplicate_probe_terms_still_no_false_negative(spark):
+    """ADVICE r03 regression: a present term DUPLICATED in the probe set
+    must still report maybe_present (probes fan out from the deduped
+    term set, so multiplicity can't inflate n_set past k)."""
+    from ner_extractor_spark.operators.sketch import (bloom_contains,
+                                                      build_bloom)
+    toks = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "token string")
+    bloom = build_bloom(toks)
+    terms = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("alpha",), ("beta",), ("absent-q",)],
+        "term string")
+    out = bloom_contains(bloom, terms)
+    got = {r["term"]: r["maybe_present"] for r in out.collect()}
+    assert got["alpha"] is True and got["beta"] is True
+    # deduped output: one row per distinct term
+    assert out.count() == 3
+
+
 def test_cms_mismatched_probe_fails_loudly(spark):
     import pytest
     from py4j.protocol import Py4JJavaError

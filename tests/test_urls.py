@@ -17,6 +17,9 @@ CASES = [
     ("http://ex.com/CaseKept/Q?Z=9&a=1", "http://ex.com/CaseKept/Q?Z=9&a=1"),
     ("ftp://Mixed.Host/File", "ftp://mixed.host/File"),        # scheme-generic
     ("no-scheme/path/", "no-scheme/path"),                     # schemeless
+    # a slash ending a query VALUE is data, never stripped (ADVICE r03)
+    ("http://ex.com/p?a=b/", "http://ex.com/p?a=b/"),
+    ("http://ex.com/p/?a=b/", "http://ex.com/p?a=b/"),         # path slash still goes
 ]
 
 
