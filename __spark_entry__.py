@@ -1013,6 +1013,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", messy.alias("url_raw"),
                         canonical_url(messy).alias("url_canon"))
 
+    def html_extract_text(spark, sf):
+        # REAL markup-aware HTML extraction (VERDICT r03 #1): pages are
+        # deterministically messied (script/style/head subtrees, tag
+        # decoys inside comments and script strings, & < > e entity-
+        # escaped text, nested blocks) and the extractor must actually
+        # parse — skip subtrees, decode charrefs, map block tags to
+        # line boundaries — to reproduce the oracle, which computes the
+        # expected output from the CLEAN text.  A regex tag-strip fails
+        # this query (script bodies leak, entities stay escaped).
+        from ner_extractor_spark.operators.html import (html_to_text,
+                                                        messy_html_expr)
+        p = _pages(spark, sf)
+        messy = p.select(
+            "url", messy_html_expr(F.col("text"), F.col("url")).alias("html"))
+        return (messy.select("url", html_to_text(F.col("html")).alias("text"))
+                .filter(F.col("text") != ""))
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1028,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the rows-only entries.
     return {
         # -- new / changed this round --------------------------------
+        "html_extract_text": html_extract_text,       # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -1623,7 +1641,17 @@ e0 AS (
   JOIN canon ch ON ch._in = l.href
 )"""
 
+    from ner_extractor_spark.operators.html import MESSY_EXPECTED_SQL
+
     return {
+        # expected output of the REAL html extractor on the messy-
+        # wrapped pages, computed from the clean source text (the
+        # oracle never parses markup — a correct parse must invert the
+        # wrapper exactly: trim lines, drop empties, join with \n)
+        "html_extract_text": f"""
+WITH {PAGES_SQL},{MESSY_EXPECTED_SQL}
+SELECT url, text FROM expected""",
+
         "kg_extract_sentences": f"""
 WITH {SENTS_SQL}
 SELECT url, sent_id, sent_text,

@@ -7,36 +7,17 @@ whole-stage codegen (no Python, no shuffle; byte-parity round-trip is
 ``concat_ws`` of the same splits, pinned in tests/test_extract.py).
 
 For pages that only carry raw ``html`` (text column null), the
-``text_from_html`` vectorized pandas UDF recovers the text (regex
-tag-strip over Arrow batches — the stand-in for a real boilerplate
-extractor; the Spark-side plumbing is the production shape).
+``text_from_html`` vectorized pandas UDF recovers the text via the REAL
+markup-aware extractor (``operators/html.py``: script/style/head
+subtree removal, entity decoding, block-level line boundaries — not a
+regex tag strip, which leaks script bodies and keeps entities escaped).
 """
 
 from __future__ import annotations
 
-import re
-
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
 
-_TAG_RE = re.compile(r"<[^>]+>")
-
-
-@pandas_udf(StringType())
-def text_from_html(html: pd.Series) -> pd.Series:
-    """Deterministic HTML->text extractor (vectorized, Arrow-batched).
-
-    Parity contract: for pages synthesized by this repo
-    (``<html><body><p>TEXT</p></body></html>``) the output is
-    byte-identical to the original TEXT — the per-url invariant from
-    BASELINE.json.  A production boilerplate extractor would slot in
-    here with the same signature.
-    """
-    return html.map(
-        lambda h: _TAG_RE.sub("", h.decode("utf-8")) if h is not None else None
-    )
+from .html import html_to_text as text_from_html  # noqa: F401 (re-export)
 
 
 def extract_sentences(pages: DataFrame, lang: str | None = "en",

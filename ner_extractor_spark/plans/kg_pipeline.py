@@ -49,11 +49,18 @@ def run_kg_pipeline(
     lang: str | None = "en",
     run_id: str = "run0",
     predicates=None,
+    use_html: bool = False,
 ) -> KGResult:
+    """``use_html=True`` extracts text from the ``html`` binary column
+    via the real markup-aware extractor (operators/html.py) instead of
+    trusting a pre-extracted ``text`` column — the shape for raw-crawl
+    inputs where text is null."""
     man = StageManifest(work_dir)
 
     sentences = write_stage(
-        man, "sentences", extract_sentences(pages, lang=lang), run_id=run_id)
+        man, "sentences",
+        extract_sentences(pages, lang=lang, use_html=use_html),
+        run_id=run_id)
 
     tagged = write_stage(
         man, "tagged", tag_sentences(sentences, tagger_dictionary), run_id=run_id)
