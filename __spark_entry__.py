@@ -1037,13 +1037,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         small = d.filter("doc_id < 50").select("doc_id")
         return en.union(de).exceptAll(small)
 
-    # ORDER IS A CONTRACT (VERDICT r02 #3): the driver samples ~50 of
-    # these entries from the front.  New-this-round and never-driver-
-    # checked queries lead; unchanged relational rows that were already
-    # driver-green in r02 (and stay locally verified by
-    # scripts/check_oracle.py) sit past the sampling window, followed by
-    # the rows-only entries.
-    return {
+    # ORDER IS A CONTRACT (VERDICT r02 #3, rotation VERDICT r03 #3):
+    # the driver samples ~50 of these entries from the front, so
+    # _rotate_contract reorders the dict LEAST-RECENTLY-DRIVER-SAMPLED
+    # first by reading the CORRECTNESS_r*.json history back — new /
+    # never-sampled queries lead, then the stalest rows; every query
+    # regains a hard driver-green row within two rounds automatically.
+    # (The literal order below is only the tiebreak within a staleness
+    # class, after the alphabetical key.)
+    return _rotate_contract({
         # -- new / changed this round --------------------------------
         "html_extract_text": html_extract_text,       # new r04
         "text_boilerplate": text_boilerplate,         # new r03
@@ -1139,7 +1141,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-engine oracle by nature (the deterministic twin
         # embed_kmeans_det IS oracle-checked); pinned by pytest instead
         "embed_kmeans": embed_kmeans,
-    }
+    })
+
+
+def _rotate_contract(d: dict) -> dict:
+    """Least-recently-driver-sampled-first ordering (VERDICT r03 #3).
+
+    The driver writes CORRECTNESS_r{N}.json with one key per query it
+    actually sampled; replaying that history gives each query its last
+    driver round.  Never-sampled (incl. new-this-round) queries sort
+    first, then ascending last-sampled round, alphabetical within a
+    class — deterministic, and self-maintaining as rounds accumulate.
+    """
+    import json as _json
+    import re as _re
+    from pathlib import Path
+
+    last: dict[str, int] = {}
+    root = Path(__file__).resolve().parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            names = _json.loads(p.read_text()).keys()
+        except Exception:
+            continue
+        for n in names:
+            last[n] = max(last.get(n, 0), rnd)
+    return {n: d[n] for n in sorted(d, key=lambda n: (last.get(n, -1), n))}
 
 
 # ---------------------------------------------------------------------------

@@ -3,12 +3,31 @@
 JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...,
-   "cpus": ...}
+   "cpus": ..., "load": {...}}
+
+Noise protocol (VERDICT r03 #2 — this host is a loaded co-tenant box
+where single-shot timings swing up to ±2×):
+  * every headline query runs N_RUNS=3 times, INTERLEAVED (pass 1 of
+    all queries, then pass 2, then pass 3 — so a transient load spike
+    taxes one pass of many queries, not all runs of one query);
+  * the reported per-query figure is the MEDIAN of the runs, and
+    "value" is the sum of medians;
+  * host load context is recorded in-band: 1-min loadavg and the
+    /proc/stat idle fraction measured across the suite, so a regressed
+    artifact can be decomposed without git archaeology.
 
 Every query is forced end-to-end with a noop-format write (count() would
 let Catalyst prune the computed columns).  Use --cpus to override the
-parallelism (the N-vs-4N scaling evidence in BENCH.md is produced by
-running this twice: --cpus 8 and --cpus 32).
+parallelism.
+
+Scaling evidence (north rule: efficiency >= 0.8 from N to 4N): the
+`--scaling` leg is IDLE-GATED by default — it samples /proc/stat (2 s
+windows) until the host is >= 95% idle or the gate times out, then runs;
+the measured pre-run idle fraction and loadavg land in the JSON either
+way.  Run the fragile wide leg FIRST (it needs half the machine for
+~25 s; narrow legs tolerate co-tenants) — `--pair HI LO` does both legs
+in one invocation, wide first, pinned to disjoint-free core ranges, and
+prints the pair with its efficiency.
 """
 
 from __future__ import annotations
@@ -16,6 +35,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -24,6 +45,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
     "kg_extract_sentences",
+    "html_extract_text",   # r04: real markup-aware extraction
     "kg_mentions",
     "kg_triples",
     "kg_link_alias",
@@ -43,6 +65,54 @@ HEADLINE = [
     "stream_window_counts",
 ]
 
+N_RUNS = 3          # interleaved passes per headline query
+IDLE_TARGET = 0.95  # --scaling gate: required /proc/stat idle fraction
+IDLE_TIMEOUT = 120  # seconds to wait for the gate before running anyway
+
+
+# -- host load instrumentation ---------------------------------------------
+
+def _proc_stat() -> tuple[int, int]:
+    """(idle+iowait jiffies, total jiffies) from the aggregate cpu line."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return idle, sum(vals)
+
+
+def _idle_between(a: tuple[int, int], b: tuple[int, int]) -> float:
+    didle, dtot = b[0] - a[0], b[1] - a[1]
+    return round(didle / dtot, 4) if dtot > 0 else -1.0
+
+
+def _idle_sample(window: float = 2.0) -> float:
+    a = _proc_stat()
+    time.sleep(window)
+    return _idle_between(a, _proc_stat())
+
+
+def _gate_idle(target: float = IDLE_TARGET,
+               timeout: float = IDLE_TIMEOUT) -> dict:
+    """Block until the host measures >= target idle over a 2 s window,
+    or the timeout elapses; either way report what was measured (the
+    gate never hides a loaded run — it just avoids one when it can)."""
+    t0 = time.monotonic()
+    best = -1.0
+    while True:
+        f = _idle_sample()
+        best = max(best, f)
+        if f >= target:
+            return {"idle_pre": f, "idle_gated": True,
+                    "gate_wait_sec": round(time.monotonic() - t0, 1)}
+        if time.monotonic() - t0 >= timeout:
+            return {"idle_pre": best, "idle_gated": False,
+                    "gate_wait_sec": round(time.monotonic() - t0, 1)}
+
+
+def _load_ctx() -> dict:
+    return {"loadavg_1m": round(os.getloadavg()[0], 2)}
+
 
 def _warm_python_workers(spark, cpus: int) -> None:
     """Force-spawn the full Python worker pool (each worker imports
@@ -60,7 +130,8 @@ def _warm_python_workers(spark, cpus: int) -> None:
      .write.format("noop").mode("overwrite").save())
 
 
-def scaling_run(cpus: str, sf_dir: str, replicate: int = 96) -> dict:
+def scaling_run(cpus: str, sf_dir: str, replicate: int = 96,
+                gate: bool = True) -> dict:
     """The N-vs-4N scaling job: the flagship KG pipeline (extract ->
     vectorized tag -> span decode -> triple pattern join) over the corpus
     deterministically replicated x`replicate` (urls disambiguated per
@@ -73,6 +144,10 @@ def scaling_run(cpus: str, sf_dir: str, replicate: int = 96) -> dict:
     from ner_extractor_spark.operators.ner import tag_sentences
     from ner_extractor_spark.operators.triples import extract_triples_local
     from ner_extractor_spark.session import get_spark
+
+    gate_ctx = _gate_idle() if gate else {"idle_gated": False,
+                                          "idle_pre": _idle_sample()}
+    load0 = _load_ctx()
 
     spark = get_spark(
         app_name=f"bench-scaling-{cpus}", master=f"local[{cpus}]",
@@ -96,12 +171,14 @@ def scaling_run(cpus: str, sf_dir: str, replicate: int = 96) -> dict:
 
     # the full pipeline is map-only: extract -> tag (Arrow UDF) ->
     # span decode + triple pairing fused as row-local HOF expressions.
+    stat0 = _proc_stat()
     t0 = time.perf_counter()
     sents = extract_sentences(pages, lang="en")
     tagged = tag_sentences(sents, {k: v for k, v in E.GAZ.items()})
     triples = extract_triples_local(tagged, predicates=E.PREDICATES)
     n_triples = triples.count()
     dt = time.perf_counter() - t0
+    idle_during = _idle_between(stat0, _proc_stat())
     spark.stop()
     return {
         "metric": "kg_pipeline_scaling",
@@ -114,7 +191,29 @@ def scaling_run(cpus: str, sf_dir: str, replicate: int = 96) -> dict:
         "pages_per_sec": round(n_pages / dt, 2),
         "triples_per_sec": round(n_triples / dt, 2),
         "sf_dir": sf_dir,
+        "load": {**gate_ctx, **load0, "idle_during": idle_during},
     }
+
+
+def pair_run(hi: int, lo: int, sf_dir: str, replicate: int) -> dict:
+    """One idle-gated scaling pair, WIDE LEG FIRST (BENCH.md §2
+    protocol from r3-22): each leg is a fresh subprocess pinned with
+    taskset to cores 0..2*cpus-1 (2x headroom for the JVM, matching the
+    published protocol), so legs never inherit a warm JVM."""
+    legs = {}
+    for cpus in (hi, lo):
+        cmd = ["taskset", "-c", f"0-{2 * cpus - 1}", sys.executable,
+               __file__, "--scaling", "--cpus", str(cpus),
+               "--replicate", str(replicate)]
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        line = out.stdout.strip().splitlines()[-1]
+        legs[cpus] = json.loads(line)
+    speedup = legs[hi]["pages_per_sec"] / legs[lo]["pages_per_sec"]
+    eff = speedup / (hi / lo)
+    return {"metric": "kg_pipeline_scaling_pair", "hi": legs[hi],
+            "lo": legs[lo], "efficiency": round(eff, 3),
+            "unit": "ratio"}
 
 
 def main():
@@ -125,11 +224,18 @@ def main():
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    replicate = 96
+    if "--replicate" in sys.argv:
+        replicate = int(sys.argv[sys.argv.index("--replicate") + 1])
+    if "--pair" in sys.argv:
+        i = sys.argv.index("--pair")
+        hi, lo = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        print(json.dumps(pair_run(hi, lo, sf_dir, replicate)))
+        return
     if "--scaling" in sys.argv:
-        replicate = 96
-        if "--replicate" in sys.argv:
-            replicate = int(sys.argv[sys.argv.index("--replicate") + 1])
-        print(json.dumps(scaling_run(cpus, sf_dir, replicate=replicate)))
+        print(json.dumps(scaling_run(
+            cpus, sf_dir, replicate=replicate,
+            gate="--no-gate" not in sys.argv)))
         return
 
     import __spark_entry__ as E
@@ -140,25 +246,35 @@ def main():
         extra_conf={"spark.sql.shuffle.partitions": str(2 * int(cpus))})
 
     qs = E.queries()
-    timings = {}
     # warm the JVM and the full Python-worker pool once (not timed)
     qs["kg_extract_sentences"](spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
     _warm_python_workers(spark, int(cpus))
 
-    total = 0.0
-    for name in HEADLINE:
+    load0 = _load_ctx()
+    stat0 = _proc_stat()
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    tri_runs: list[tuple[int, float]] = []
+    for _ in range(N_RUNS):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            runs[name].append(time.perf_counter() - t0)
+        # throughput datum for the north rule: triples/sec through the
+        # full extract -> tag -> decode -> pair+predicate pipeline —
+        # same median discipline as the per-query timings
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        n_triples = qs["kg_triples"](spark, sf_dir).count()
+        tri_runs.append((n_triples, time.perf_counter() - t0))
+    stat1 = _proc_stat()
+    load1 = _load_ctx()
 
-    # throughput datum for the north rule: triples/sec through the full
-    # extract -> tag -> decode -> pair+predicate pipeline
-    t0 = time.perf_counter()
-    n_triples = qs["kg_triples"](spark, sf_dir).count()
-    triples_dt = time.perf_counter() - t0
+    timings = {name: round(statistics.median(rs), 3)
+               for name, rs in runs.items()}
+    total = sum(timings.values())
+    n_triples = tri_runs[0][0]
+    triples_dt = statistics.median(dt for _, dt in tri_runs)
     n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
     out = {
@@ -168,9 +284,13 @@ def main():
         "queries": timings,
         "sf": sf,
         "cpus": int(cpus),
+        "runs_per_query": N_RUNS,
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / triples_dt, 2),
         "pages_per_sec": round(n_pages / triples_dt, 2),
+        "load": {"loadavg_1m_before": load0["loadavg_1m"],
+                 "loadavg_1m_after": load1["loadavg_1m"],
+                 "idle_during": _idle_between(stat0, stat1)},
     }
     spark.stop()
     print(json.dumps(out))
