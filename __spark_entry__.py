@@ -478,10 +478,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def embedding_near_dups_q(spark, sf):
         # the LSH-banded scale path IS the verified default (16 hyperplane
-        # bits in 4 bands of 4); exact n_planes=0 is an explicit audit mode
+        # bits in 4 bands of 4); exact n_planes=0 is an explicit audit
+        # mode.  literal_planes ships the ±1 matrix as a broadcast
+        # literal (one md5 per matrix cell total, not per vector×cell) —
+        # bit-identical to the oracle's md5 reconstruction (r04, #5).
         from ner_extractor_spark.operators.dedup import embedding_near_dups
         return embedding_near_dups(_emb(spark, sf), threshold=0.4,
-                                   n_planes=16, band_size=4)
+                                   n_planes=16, band_size=4,
+                                   literal_planes=True, dim=64)
 
     def ann_topk(spark, sf):
         e = _emb(spark, sf)

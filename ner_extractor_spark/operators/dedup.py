@@ -237,10 +237,21 @@ def resolve_duplicates(docs: DataFrame, pairs: DataFrame,
     return out.withColumn("is_keeper", (F.col(id_col) == F.col("keeper")))
 
 
+def plane_sign(k: int, d: int) -> float:
+    """±1 hyperplane cell — Python twin of the in-expression md5 parity
+    (first hex nibble ≥ 8 → +1).  Same bits as the expression path by
+    construction; pinned by test_dedup."""
+    import hashlib
+    h = hashlib.md5(f"{k}|{d}".encode()).hexdigest()
+    return 1.0 if h[0] in "89abcdef" else -1.0
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        n_planes: int = 16, band_size: int = 4) -> DataFrame:
+                        n_planes: int = 16, band_size: int = 4,
+                        literal_planes: bool = False,
+                        dim: int | None = None) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
     DEFAULT (the scale path): banded random-hyperplane LSH.  Each vector
@@ -255,6 +266,15 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
 
     n_planes == 0 is the EXPLICIT exact-audit mode (full pairwise) — never
     the default, only for small-sample recall audits.
+
+    ``literal_planes=True`` (VERDICT r03 #5) precomputes the
+    n_planes × dim ±1 matrix ONCE driver-side (``plane_sign`` — the md5
+    parity evaluated in Python instead of per (vector × plane × dim)
+    inside the expression) and ships each plane as an array literal:
+    identical bits, identical pairs (equality-pinned in test_dedup),
+    one hash per matrix cell total instead of one per corpus row × cell.
+    ``dim`` is the embedding width; if omitted it is read from one row
+    (a driver lookup — pass it explicitly in production).
     """
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
@@ -267,17 +287,29 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         # expression keeps the planes oracle-reproducible; at production
         # scale precompute the (n_planes × dim) ±1 matrix once and ship it
         # as a broadcast literal — same bits, one hash per cell total.
-        def plane_bit(vcol, k):
-            return (F.aggregate(
-                F.zip_with(
-                    vcol,
-                    F.transform(F.sequence(F.lit(0), F.size(vcol) - 1),
-                                lambda d: F.when(
-                                    F.substring(F.md5(F.concat(F.lit(f"{k}|"),
-                                                               d.cast("string"))), 1, 1)
-                                    .isin(*"89abcdef"), F.lit(1.0)).otherwise(F.lit(-1.0))),
-                    lambda a, b: a * b),
-                F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
+        if literal_planes:
+            if dim is None:
+                dim = len(emb.select(vec_col).limit(1).first()[0])
+            planes = [[plane_sign(k, d) for d in range(dim)]
+                      for k in range(n_planes)]
+
+            def plane_bit(vcol, k):
+                row = F.array(*[F.lit(s) for s in planes[k]])
+                return (F.aggregate(
+                    F.zip_with(vcol, row, lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
+        else:
+            def plane_bit(vcol, k):
+                return (F.aggregate(
+                    F.zip_with(
+                        vcol,
+                        F.transform(F.sequence(F.lit(0), F.size(vcol) - 1),
+                                    lambda d: F.when(
+                                        F.substring(F.md5(F.concat(F.lit(f"{k}|"),
+                                                                   d.cast("string"))), 1, 1)
+                                        .isin(*"89abcdef"), F.lit(1.0)).otherwise(F.lit(-1.0))),
+                        lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
 
         n_bands = max(n_planes // band_size, 1)
         # bits MATERIALIZED once (see minhash_sig_from), then banded into
