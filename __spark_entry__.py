@@ -324,6 +324,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (linked.groupBy("entity_id")
                 .agg(F.count(F.lit(1)).alias("n_mentions")))
 
+    def kg_link_alias_salted(spark, sf):
+        # the SHIPPED beyond-broadcast configuration (north rule:
+        # explicit salted repartitioning on surface-form keys): salt
+        # sized from measured skew, shuffle-hash join on
+        # (alias_norm, _salt) — same rows as the broadcast path, same
+        # oracle (VERDICT r03 #4)
+        from ner_extractor_spark.operators.link import link_exact_salted
+        linked = link_exact_salted(_mentions(spark, sf), _aliases_df(spark))
+        return (linked.groupBy("entity_id")
+                .agg(F.count(F.lit(1)).alias("n_mentions")))
+
     def kg_nil_clusters(spark, sf):
         # NIL clustering: unlinkable surfaces -> char-3-gram MinHash-LSH
         # candidates -> connected components -> provisional NIL entity
@@ -1052,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _rotate_contract({
         # -- new / changed this round --------------------------------
         "html_extract_text": html_extract_text,       # new r04
+        "kg_link_alias_salted": kg_link_alias_salted,  # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -1941,7 +1953,10 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank,
 FROM counts, tot
 ORDER BY n DESC, key LIMIT 10""",
 
-        "kg_link_alias": f"""
+        # identical result contract for both link configurations: the
+        # salted shuffle join must be indistinguishable from the
+        # broadcast join to the oracle
+        "kg_link_alias_salted": (_link_alias_sql := f"""
 WITH {MEN_SQL},
 aliases(alias_norm, entity_id, entity_type, prior) AS (VALUES {ALIAS_VALUES}),
 linked AS (
@@ -1952,7 +1967,8 @@ linked AS (
     ON trim(regexp_replace(lower(m.surface), '\\s+', ' ', 'g')) = a.alias_norm
 )
 SELECT entity_id, CAST(count(*) AS BIGINT) AS n_mentions
-FROM linked WHERE rk = 1 GROUP BY entity_id""",
+FROM linked WHERE rk = 1 GROUP BY entity_id"""),
+        "kg_link_alias": _link_alias_sql,
 
         "kg_metrics_prf": f"""
 WITH {MEN_SQL},

@@ -68,6 +68,50 @@ def link_exact(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
                   on="alias_norm", how="inner")
 
 
+def auto_salt_k(df: DataFrame, key_col: str, n_partitions: int,
+                cap: int = 64) -> int:
+    """Size ``salt_explode``'s k from MEASURED skew (SURVEY §4.3.1 /
+    VERDICT r03 #4): the hottest key's row share × the shuffle
+    partition count is how many partition-sized units that key would
+    occupy unsalted — spreading it over ~that many salts levels the
+    partitions.  One tiny driver lookup (top-1 of key_skew_profile);
+    capped because the small side replicates ×k."""
+    import math
+
+    from .skew import key_skew_profile
+    top = key_skew_profile(df, key_col, top_k=1).collect()
+    share = top[0]["share"] if top else 0.0
+    return max(1, min(cap, math.ceil(share * n_partitions)))
+
+
+def link_exact_salted(mentions: DataFrame, aliases: DataFrame,
+                      k: int | None = None) -> DataFrame:
+    """``link_exact``'s BEYOND-BROADCAST configuration (north rule:
+    explicit salted repartitioning on entity-surface-form keys).
+
+    When the alias dictionary outgrows the broadcast threshold (real
+    alias tables: every Wikipedia anchor string), the join must
+    shuffle on alias_norm — and mention surfaces are zipf-hot, so the
+    hot key's partition becomes the straggler.  This variant salts the
+    mention side from the row-unique ``url`` (deterministic across task
+    retries), explodes the DEDUPED ``best_alias_rows`` dimension ×k,
+    and joins on (alias_norm, _salt) with a shuffle-hash hint so the
+    plan stays a shuffle join even when the sandbox-sized dimension
+    would auto-broadcast.  Same rows as ``link_exact`` by construction
+    (equality + partition-balance pinned in tests/test_skew_bucketing).
+
+    ``k=None`` sizes the salt from measured skew (``auto_salt_k``).
+    """
+    m = mentions.withColumn("alias_norm", norm_surface(F.col("surface")))
+    if k is None:
+        n_part = int(m.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        k = auto_salt_k(m, "alias_norm", n_part)
+    big_s, small_s, keys = salt_explode(m, best_alias_rows(aliases),
+                                        "alias_norm", k=k, salt_src="url")
+    return (big_s.join(small_s.hint("shuffle_hash"), on=keys, how="inner")
+            .drop("_salt"))
+
+
 def unlinked(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     """Left-anti: mentions whose normalized surface has no exact alias."""
     m = mentions.withColumn("alias_norm", norm_surface(F.col("surface")))

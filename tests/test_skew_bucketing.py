@@ -42,6 +42,84 @@ def test_salt_default_spreads_hot_key(spark):
     assert big_s.join(small_s, on=keys).count() == 512
 
 
+def _mentions_hot(spark, n=2000, hot_share=0.9):
+    """Zipf-hot mention surfaces: `hot_share` of rows share one surface."""
+    cut = int(n * hot_share)
+    rows = [(f"u{i}", 0, 0, 1,
+             "Spark" if i < cut else f"surf {i}", "ORG")
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "url string, sent_id int, start int, end int, "
+              "surface string, label string")
+
+
+def _aliases_for(spark):
+    rows = ([("spark", "Q-1", 0.9)]
+            + [(f"surf {i}", f"Q-{i}", 0.5) for i in range(2000)])
+    return spark.createDataFrame(rows,
+                                 "alias_norm string, entity_id string, "
+                                 "prior double")
+
+
+def test_link_exact_salted_equals_broadcast_path(spark):
+    """VERDICT r03 #4: the SHIPPED salted beyond-broadcast linking path
+    returns exactly link_exact's rows, runs a shuffle (not broadcast)
+    join, and auto-sizes k from measured skew."""
+    from ner_extractor_spark.operators.link import (auto_salt_k,
+                                                    link_exact,
+                                                    link_exact_salted)
+    m, a = _mentions_hot(spark), _aliases_for(spark)
+    want = sorted(map(tuple, link_exact(m, a)
+                      .select("url", "entity_id", "prior").collect()))
+    salted = link_exact_salted(m, a)
+    got = sorted(map(tuple,
+                     salted.select("url", "entity_id", "prior").collect()))
+    assert got == want and len(got) == 2000
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    # measured-skew sizing: hot key is 90% of rows; with 32 shuffle
+    # partitions the auto k must spread it over >= 16 salts
+    from ner_extractor_spark.operators.link import norm_surface
+    mm = m.withColumn("alias_norm", norm_surface(F.col("surface")))
+    assert auto_salt_k(mm, "alias_norm", 32) >= 16
+
+
+def test_link_exact_salted_task_balance_bound(spark):
+    """T-skew (SURVEY §5.2): max/mean post-shuffle partition load of the
+    salted join stays within a small factor, where the unsalted shuffle
+    join concentrates the hot key's ~90% share in one partition."""
+    from ner_extractor_spark.operators.link import (best_alias_rows,
+                                                    link_exact_salted,
+                                                    norm_surface)
+    m, a = _mentions_hot(spark), _aliases_for(spark)
+
+    def partition_loads(df):
+        rows = (df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").count().collect())
+        loads = [r["count"] for r in rows]
+        return max(loads), sum(loads) / len(loads)
+
+    # AQE's post-shuffle coalescing folds this sandbox-sized exchange
+    # into one partition either way, hiding the per-reducer layout the
+    # test measures — salting is exactly the explicit (non-AQE) skew
+    # mechanism the north rule demands, so measure the raw hash layout
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        mm = m.withColumn("alias_norm", norm_surface(F.col("surface")))
+        unsalted = mm.join(best_alias_rows(a).hint("shuffle_hash"),
+                           on="alias_norm")
+        mx_u, _ = partition_loads(unsalted)
+        # k=32 over 32 partitions: balls-in-bins collisions still leave
+        # a few salts sharing a reducer, so the bound below is 4x, not k
+        mx_s, _ = partition_loads(link_exact_salted(m, a, k=32))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # unsalted: one partition owns ~the whole hot key (>= 0.8 of rows);
+    # salted: the straggler shrinks by >= 4x
+    assert mx_u >= 0.8 * 1800
+    assert mx_s <= mx_u / 4, (mx_s, mx_u)
+
+
 def test_lsh_hot_shingle_bucket_share_bounded(spark):
     """Pathological alias set: 300 unrelated surfaces that all share the
     '^th' shingle family.  With bands of ≥2 minhashes EVERY hash of a
