@@ -637,10 +637,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def corpus_curation(spark, sf):
         # the end-to-end keep/drop verdict: quality rules -> exact-dup
         # keeper -> cross-doc n-gram dup -> LM gate, first-violation
-        # reason; thresholds calibrated to this corpus' distributions
-        from ner_extractor_spark.operators.curation import curate_corpus
-        return curate_corpus(_docs(spark, sf),
-                             dup_threshold=0.9, lm_threshold=-5.45)
+        # reason; thresholds DERIVED from this corpus' own score
+        # distributions via calibrate_thresholds (r04, VERDICT #6 —
+        # no hand-picked magic constants in the contract)
+        from ner_extractor_spark.operators.curation import (
+            calibrate_thresholds, curate_corpus)
+        d = _docs(spark, sf)
+        return curate_corpus(d, thresholds=calibrate_thresholds(d))
+
+    def curation_calibrate(spark, sf):
+        # the calibration operator itself: exact interpolated quantile
+        # cuts (p05 of LM scores, p95 of dup fractions) as a 1-row
+        # broadcastable threshold table
+        from ner_extractor_spark.operators.curation import \
+            calibrate_thresholds
+        return calibrate_thresholds(_docs(spark, sf))
 
     def text_dup_ngrams(spark, sf):
         # cross-document duplicate n-gram fraction (Gopher/RefinedWeb
@@ -1064,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed this round --------------------------------
         "html_extract_text": html_extract_text,       # new r04
         "kg_link_alias_salted": kg_link_alias_salted,  # new r04
+        "curation_calibrate": curation_calibrate,     # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -2638,6 +2650,51 @@ SELECT p.term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est
 FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.cell = p.cell
 GROUP BY p.term""",
 
+        "curation_calibrate": r"""
+WITH nt AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, substring(t, i, 3) AS tri
+  FROM nt, unnest(generate_series(1, greatest(len(t) - 2, 1))) g(i)
+),
+model AS (SELECT tri, count(*) AS c FROM tris GROUP BY tri),
+norm AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                count(*) AS n_distinct FROM model),
+lm AS (
+  SELECT d.doc_id,
+         round(avg(ln((coalesce(m.c, 0) + 1.0)
+                      / (norm.n_total + norm.n_distinct))), 6) AS lm_score
+  FROM tris d LEFT JOIN model m USING (tri), norm
+  GROUP BY d.doc_id
+),
+dn AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS tl
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tl[i:least(i + 2, len(tl))], ' ') AS shingle
+  FROM dn, unnest(generate_series(1, greatest(len(tl) - 2, 1))) t(i)
+),
+sdf AS (
+  SELECT shingle, count(DISTINCT doc_id) AS sdf FROM sh GROUP BY shingle
+),
+dupf AS (
+  SELECT s.doc_id,
+         round(CAST(sum(CASE WHEN f.sdf >= 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS dup_fraction
+  FROM sh s JOIN sdf f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT (SELECT round(quantile_cont(lm_score, 0.05), 6) FROM lm)
+         AS lm_threshold,
+       (SELECT round(quantile_cont(dup_fraction, 0.95), 6) FROM dupf)
+         AS dup_threshold""",
+
         "corpus_curation": r"""
 WITH qt AS (
   SELECT doc_id, text,
@@ -2711,18 +2768,25 @@ dupf AS (
   FROM sh s JOIN sdf f USING (shingle)
   GROUP BY s.doc_id
 ),
+thr AS (
+  SELECT round(quantile_cont(lm_score, 0.05), 6) AS lm_threshold FROM lm
+),
+dthr AS (
+  SELECT round(quantile_cont(dup_fraction, 0.95), 6) AS dup_threshold
+  FROM dupf
+),
 fin AS (
   SELECT q.doc_id,
          CASE WHEN q.q_reason != 'ok' THEN q.q_reason
               WHEN x.doc_id != k.keeper THEN 'exact_duplicate'
-              WHEN d.dup_fraction >= 0.9 THEN 'dup_ngrams'
-              WHEN l.lm_score < -5.45 THEN 'lm_low_quality'
+              WHEN d.dup_fraction >= dthr.dup_threshold THEN 'dup_ngrams'
+              WHEN l.lm_score < thr.lm_threshold THEN 'lm_low_quality'
               ELSE 'ok' END AS reason
   FROM qr q
   JOIN hx x ON x.doc_id = q.doc_id
   JOIN keep0 k USING (h)
   JOIN lm l ON l.doc_id = q.doc_id
-  JOIN dupf d ON d.doc_id = q.doc_id
+  JOIN dupf d ON d.doc_id = q.doc_id, thr, dthr
 )
 SELECT doc_id, reason = 'ok' AS keep, reason FROM fin""",
 

@@ -27,14 +27,49 @@ from ner_extractor_spark.operators.dedup import (dup_ngram_fraction,
 from ner_extractor_spark.operators.lm import trigram_logprob, trigram_model
 
 
+def calibrate_thresholds(docs: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         lm_quantile: float = 0.05,
+                         dup_quantile: float = 0.95) -> DataFrame:
+    """1-row (lm_threshold, dup_threshold): quantile cuts over THIS
+    corpus' own score distributions (VERDICT r03 #6 — thresholds are
+    calibration data derived from the corpus, not magic constants).
+
+    ``lm_threshold`` = the ``lm_quantile`` exact interpolated percentile
+    of per-doc trigram-LM scores (documents scoring below it — the
+    most out-of-distribution tail — get dropped); ``dup_threshold`` =
+    the ``dup_quantile`` percentile of cross-doc duplicate-n-gram
+    fractions.  Exact sort-based ``percentile`` (the agg_percentiles
+    family), rounded to 6 so the cut value is engine-portable
+    (DuckDB ``quantile_cont`` computes the identical interpolation).
+
+    Scale shape: two 1-row global aggregates over per-doc score tables
+    the curation pass needs anyway — cache/checkpoint the score
+    DataFrames and feed them to both if running back-to-back.
+    """
+    lm = trigram_logprob(docs, trigram_model(docs, text_col=text_col),
+                         id_col=id_col, text_col=text_col)
+    dup = dup_ngram_fraction(docs, id_col=id_col, text_col=text_col)
+    lm_t = lm.agg(F.round(
+        F.expr(f"percentile(lm_score, {lm_quantile})"), 6)
+        .alias("lm_threshold"))
+    dup_t = dup.agg(F.round(
+        F.expr(f"percentile(dup_fraction, {dup_quantile})"), 6)
+        .alias("dup_threshold"))
+    return lm_t.crossJoin(dup_t)
+
+
 def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text", dup_threshold: float = 0.9,
-                  lm_threshold: float = -8.0) -> DataFrame:
+                  lm_threshold: float = -8.0,
+                  thresholds: DataFrame | None = None) -> DataFrame:
     """(id_col, keep, reason) for every input document.
 
     ``reason`` is the FIRST violated rule in the order above ('ok' when
-    kept); thresholds are corpus-calibration data, not code — callers
-    pass values derived from their corpus' score distributions.
+    kept); thresholds are corpus-calibration data, not code — pass
+    ``thresholds=calibrate_thresholds(docs)`` (a 1-row broadcast that
+    overrides the scalar defaults) to derive them from the corpus'
+    score distributions instead of hand-picking.
 
     Rule 3 is SYMMETRIC (the Gopher semantic): every copy of heavily
     duplicated content trips it, including the keeper of an exact-dup
@@ -58,11 +93,16 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     joined = (base.join(keepers, "h")
               .join(lm, id_col)
               .join(dup, id_col))
+    if thresholds is not None:
+        joined = joined.crossJoin(F.broadcast(thresholds))
+        dup_thr, lm_thr = F.col("dup_threshold"), F.col("lm_threshold")
+    else:
+        dup_thr, lm_thr = F.lit(dup_threshold), F.lit(lm_threshold)
     reason = (
         F.when(F.col("q_reason") != "ok", F.col("q_reason"))
         .when(F.col(id_col) != F.col("keeper"), F.lit("exact_duplicate"))
-        .when(F.col("dup_fraction") >= dup_threshold, F.lit("dup_ngrams"))
-        .when(F.col("lm_score") < lm_threshold, F.lit("lm_low_quality"))
+        .when(F.col("dup_fraction") >= dup_thr, F.lit("dup_ngrams"))
+        .when(F.col("lm_score") < lm_thr, F.lit("lm_low_quality"))
         .otherwise(F.lit("ok")))
     return joined.select(
         id_col, (reason == "ok").alias("keep"), reason.alias("reason"))

@@ -83,3 +83,40 @@ def test_every_document_gets_exactly_one_row(spark):
     out = curate_corpus(_df(spark))
     assert out.count() == len(DOCS)
     assert out.select("doc_id").distinct().count() == len(DOCS)
+
+
+def test_calibrate_thresholds_are_corpus_quantiles(spark):
+    """VERDICT r03 #6: thresholds come from the corpus' own score
+    distributions — exact interpolated percentile of lm scores (p05)
+    and dup fractions (p95), cross-checked against a driver-side
+    numpy replica of the same linear interpolation."""
+    import numpy as np
+
+    from ner_extractor_spark.operators.curation import calibrate_thresholds
+    from ner_extractor_spark.operators.dedup import dup_ngram_fraction
+    from ner_extractor_spark.operators.lm import (trigram_logprob,
+                                                  trigram_model)
+    d = _df(spark)
+    row = calibrate_thresholds(d, id_col="doc_id").first()
+    lm_scores = [r["lm_score"] for r in
+                 trigram_logprob(d, trigram_model(d)).collect()]
+    dups = [r["dup_fraction"] for r in dup_ngram_fraction(d).collect()]
+    assert row["lm_threshold"] == round(
+        float(np.percentile(lm_scores, 5, method="linear")), 6)
+    assert row["dup_threshold"] == round(
+        float(np.percentile(dups, 95, method="linear")), 6)
+
+
+def test_curate_with_calibrated_thresholds_matches_scalars(spark):
+    """Passing the calibrated 1-row table is identical to passing the
+    same values as scalars (the broadcast wiring changes nothing)."""
+    from ner_extractor_spark.operators.curation import (
+        calibrate_thresholds, curate_corpus)
+    d = _df(spark)
+    thr = calibrate_thresholds(d, id_col="doc_id")
+    row = thr.first()
+    via_df = sorted(map(tuple, curate_corpus(d, thresholds=thr).collect()))
+    via_scalar = sorted(map(tuple, curate_corpus(
+        d, dup_threshold=row["dup_threshold"],
+        lm_threshold=row["lm_threshold"]).collect()))
+    assert via_df == via_scalar
