@@ -88,3 +88,29 @@ def test_lm_partition_invariance(spark):
     d2 = d.repartition(7)
     b = sorted(map(tuple, trigram_logprob(d2, trigram_model(d2)).collect()))
     assert a == b
+
+
+def test_trigram_logprob_shuffle_mode_identical(spark):
+    """VERDICT r03 #7: the beyond-broadcast shuffle-join scoring mode
+    returns bit-identical scores to the broadcast path, and its plan
+    really does shuffle (no broadcast of the model)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} the quick brown fox " * (1 + i % 3))
+         for i in range(30)], "doc_id int, text string")
+    from ner_extractor_spark.operators.lm import (trigram_logprob,
+                                                  trigram_model)
+    model = trigram_model(docs)
+    bc = sorted(map(tuple, trigram_logprob(
+        docs, model, join_mode="broadcast").collect()))
+    sh_df = trigram_logprob(docs, model, join_mode="shuffle")
+    sh = sorted(map(tuple, sh_df.collect()))
+    assert bc == sh and len(bc) == 30
+    plan = sh_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    # auto mode picks broadcast for this bounded model
+    auto = sorted(map(tuple, trigram_logprob(
+        docs, model, join_mode="auto").collect()))
+    assert auto == bc
+    import pytest
+    with pytest.raises(ValueError):
+        trigram_logprob(docs, model, join_mode="bogus")
