@@ -1,0 +1,71 @@
+"""Incremental corpus curation (VERDICT r03 #8): the keep/drop verdict
+of ``operators/curation.curate_corpus`` run per micro-batch with the
+same idempotence discipline as ``run_kg_stream``.
+
+Semantics — "model as of batch N" (documented, not hidden): the
+corpus-level statistics the verdict composes (exact-dup keeper groups,
+cross-doc shingle document frequencies, the char-trigram LM model, and
+— when no frozen thresholds are passed — the calibration quantiles) are
+computed over EACH BATCH'S documents alone.  That keeps every batch a
+pure function of its own input, which is what makes at-least-once
+replays absorbable: a replayed epoch rewrites its ``batch_id=N``
+partition with byte-identical rows.  Cross-batch exact duplicates are
+the job of the upstream bounded-state stream dedup
+(``kg_stream.dedup_pages_stream``), not of this operator.
+
+Production posture for thresholds: calibrate OFFLINE on a corpus
+sample (``calibrate_thresholds``) and pass the frozen scalars here —
+a per-batch recalibration makes the gate drift with batch composition,
+which is occasionally wanted (adaptive gating) but usually not; both
+modes are explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.curation import calibrate_thresholds, curate_corpus
+
+
+def run_curation_stream(docs_stream: DataFrame, out_dir: str,
+                        checkpoint: str, *, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        dup_threshold: float | None = None,
+                        lm_threshold: float | None = None) -> None:
+    """Drain a documents stream into idempotent per-batch verdict
+    partitions under ``out_dir/verdicts`` (``batch_id`` surfaces as a
+    partition column on read-back).
+
+    Frozen scalar thresholds -> production gating; both ``None`` ->
+    batch-local calibration (quantile cuts over the batch's own score
+    distributions).  Passing only one of the two is ambiguous and
+    rejected."""
+    if (dup_threshold is None) != (lm_threshold is None):
+        raise ValueError("pass both thresholds (frozen mode) or neither "
+                         "(batch-local calibration)")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # the verdict composes ~6 aggregations over the batch; pin the
+        # micro-batch data once instead of re-scanning the source per
+        # consumer (same barrier discipline as the batch operators)
+        batch_df = batch_df.localCheckpoint()
+        if batch_df.isEmpty():
+            return
+        if dup_threshold is None and lm_threshold is None:
+            verdict = curate_corpus(
+                batch_df, id_col=id_col, text_col=text_col,
+                thresholds=calibrate_thresholds(
+                    batch_df, id_col=id_col, text_col=text_col))
+        else:
+            verdict = curate_corpus(
+                batch_df, id_col=id_col, text_col=text_col,
+                dup_threshold=dup_threshold, lm_threshold=lm_threshold)
+        (verdict.write.mode("overwrite")
+         .parquet(f"{out_dir}/verdicts/batch_id={batch_id}"))
+
+    q = (docs_stream.writeStream
+         .foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
