@@ -40,11 +40,15 @@ def dedup_pages_stream(pages_stream: DataFrame,
 
 def run_kg_stream(pages_stream: DataFrame, dictionary: dict,
                   out_dir: str, checkpoint: str,
-                  lang: str | None = "en", predicates=None) -> None:
+                  lang: str | None = "en", predicates=None,
+                  use_html: bool = False) -> None:
     """Drain a pages stream through the batch KG operators, appending
     idempotent per-batch triple partitions under ``out_dir/triples_raw``
     (read back with ``spark.read.parquet(out_dir + '/triples_raw')`` —
-    batch_id surfaces as a partition column)."""
+    batch_id surfaces as a partition column).  ``use_html=True``
+    extracts text from the html binary via the real markup-aware
+    extractor (raw-crawl feeds where text is null), mirroring
+    ``plans/kg_pipeline.run_kg_pipeline``."""
     from ..operators.extract import extract_sentences
     from ..operators.ner import tag_sentences
     from ..operators.triples import DEFAULT_PREDICATES, extract_triples_local
@@ -52,8 +56,9 @@ def run_kg_stream(pages_stream: DataFrame, dictionary: dict,
     preds = predicates or DEFAULT_PREDICATES
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tagged = tag_sentences(extract_sentences(batch_df, lang=lang),
-                               dictionary)
+        tagged = tag_sentences(
+            extract_sentences(batch_df, lang=lang, use_html=use_html),
+            dictionary)
         triples = extract_triples_local(tagged, predicates=preds)
         (triples.write.mode("overwrite")
          .parquet(f"{out_dir}/triples_raw/batch_id={batch_id}"))

@@ -99,3 +99,30 @@ def test_dedup_pages_stream_drops_watermark_window_dups(spark, tmp_path):
     n_docs = pages.select("text").distinct().count()
     assert got.count() == n_docs                  # one survivor per text
     assert got.select("text").distinct().count() == n_docs
+
+
+def test_kg_stream_html_only_pages_match_text_path(spark, tmp_path):
+    """Raw-crawl shape: pages whose ONLY text carrier is messy html
+    stream through use_html=True and produce exactly the triples the
+    clean-text batch path produces (per-url byte parity through real
+    markup, end to end, incrementally)."""
+    from ner_extractor_spark.operators.html import messy_html_py
+    docs = synth.gold_corpus(30)
+    html_pages = spark.createDataFrame(
+        [(d.url, d.warc_ts, messy_html_py(d.text(), d.url), None, d.lang)
+         for d in docs], schema=PAGES)
+    text_pages = spark.createDataFrame(synth.pages_rows(docs), schema=PAGES)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    html_pages.repartition(2).write.parquet(src)
+
+    gaz = synth.tagger_dictionary()
+    run_kg_stream(read_pages_stream(spark, src), gaz, out,
+                  str(tmp_path / "ckpt"), lang=None, use_html=True)
+
+    streamed = spark.read.parquet(f"{out}/triples_raw").drop("batch_id")
+    batch = extract_triples_local(
+        tag_sentences(extract_sentences(text_pages, lang=None), gaz))
+    s = sorted(map(tuple, streamed.select(*batch.columns).collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b and len(s) > 0
