@@ -1056,6 +1056,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (messy.select("url", html_to_text(F.col("html")).alias("text"))
                 .filter(F.col("text") != ""))
 
+    def html_extract_meta(spark, sf):
+        # head-metadata extraction (title / meta description /
+        # canonical link) through the same real parser — attribute-
+        # value charref decoding exercised via the escaped description
+        from ner_extractor_spark.operators.html import (html_to_meta,
+                                                        messy_html_expr)
+        p = _pages(spark, sf)
+        messy = p.select(
+            "url", messy_html_expr(F.col("text"), F.col("url")).alias("html"))
+        return messy.select(
+            "url", html_to_meta(F.col("html")).alias("m")).select(
+            "url", "m.title", "m.meta_description", "m.canonical")
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1076,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_text": html_extract_text,       # new r04
         "kg_link_alias_salted": kg_link_alias_salted,  # new r04
         "curation_calibrate": curation_calibrate,     # new r04
+        "html_extract_meta": html_extract_meta,       # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -1710,6 +1724,13 @@ e0 AS (
         "html_extract_text": f"""
 WITH {PAGES_SQL},{MESSY_EXPECTED_SQL}
 SELECT url, text FROM expected""",
+
+        "html_extract_meta": f"""
+WITH {PAGES_SQL}
+SELECT url, url AS title,
+       string_split(text, chr(10))[1] AS meta_description,
+       url || '/canonical' AS canonical
+FROM pages""",
 
         "kg_extract_sentences": f"""
 WITH {SENTS_SQL}

@@ -39,7 +39,7 @@ from html.parser import HTMLParser
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 #: subtrees whose character data is never text
 SKIP_TAGS = frozenset(
@@ -128,6 +128,77 @@ def html_to_text(html: pd.Series) -> pd.Series:
     return html.map(extract_text)
 
 
+class _MetaExtractor(HTMLParser):
+    """Head metadata: <title> text, <meta name=description content>,
+    <link rel=canonical href>.  First occurrence of each wins; charrefs
+    in attribute values are decoded by the tokenizer itself."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._in_title = 0
+        self.title: str | None = None
+        self._title_buf: list[str] = []
+        self.description: str | None = None
+        self.canonical: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "title":
+            self._in_title += 1
+        elif tag == "meta" and self.description is None \
+                and a.get("name", "").lower() == "description":
+            self.description = a.get("content")
+        elif tag == "link" and self.canonical is None \
+                and a.get("rel", "").lower() == "canonical":
+            self.canonical = a.get("href")
+
+    def handle_startendtag(self, tag, attrs):
+        # void-element form: meta/link are the real cases; a
+        # self-closing <title/> has no text and must not open capture
+        if tag != "title":
+            self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self._in_title:
+            self._in_title -= 1
+            if self.title is None:
+                self.title = "".join(self._title_buf).strip()
+
+    def handle_data(self, data):
+        if self._in_title:
+            self._title_buf.append(data)
+
+
+def extract_meta(html: bytes | str | None):
+    """(title, meta_description, canonical) — pure kernel."""
+    if html is None:
+        return (None, None, None)
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _MetaExtractor()
+    p.feed(html)
+    p.close()
+    if p.title is None and p._title_buf:    # unclosed <title> to EOF
+        p.title = "".join(p._title_buf).strip()
+    return (p.title, p.description, p.canonical)
+
+
+# explicit StructType: a DDL string here would need an active session
+# at module import time (see .claude/skills/verify gotchas)
+_META_SCHEMA = StructType([
+    StructField("title", StringType()),
+    StructField("meta_description", StringType()),
+    StructField("canonical", StringType()),
+])
+
+
+@pandas_udf(_META_SCHEMA)
+def html_to_meta(html: pd.Series) -> pd.DataFrame:
+    rows = [extract_meta(h) for h in html]
+    return pd.DataFrame(rows,
+                        columns=["title", "meta_description", "canonical"])
+
+
 # ---------------------------------------------------------------------------
 # Deterministic messy-page synthesis (test/oracle input builder)
 # ---------------------------------------------------------------------------
@@ -146,16 +217,26 @@ def messy_html_expr(text_col, title_col):
     clean source text (trim lines, drop empties, join with \\n), which
     is exactly what a correct parse of this wrapper recovers.
     """
-    esc = F.regexp_replace(text_col, "&", "&amp;")
-    esc = F.regexp_replace(esc, "<", "&lt;")
-    esc = F.regexp_replace(esc, ">", "&gt;")
-    esc = F.regexp_replace(esc, "e", "&#101;")
+    def esc_of(col):
+        e = F.regexp_replace(col, "&", "&amp;")
+        e = F.regexp_replace(e, "<", "&lt;")
+        e = F.regexp_replace(e, ">", "&gt;")
+        e = F.regexp_replace(e, '"', "&quot;")
+        return F.regexp_replace(e, "e", "&#101;")
+
+    esc = esc_of(text_col)
+    # meta description = the first line, same escaping (exercises
+    # charref decoding inside ATTRIBUTE values, not just text nodes)
+    desc = esc_of(F.split(text_col, "\n").getItem(0))
     body = F.concat(F.lit("<p>"),
                     F.regexp_replace(esc, "\n", "</p>\n<P >"),
                     F.lit("</p>"))
     return F.encode(F.concat(
         F.lit('<!DOCTYPE html>\n<html>\n<head><title>'), title_col,
-        F.lit('</title>\n<style>p { color: #000; }</style>\n'
+        F.lit('</title>\n<meta name="description" content="'), desc,
+        F.lit('">\n<link rel="canonical" href="'), title_col,
+        F.lit('/canonical">\n'
+              '<style>p { color: #000; }</style>\n'
               '<script type="text/javascript">var decoy = '
               '"<p>not text</p>";</script>\n'
               '</head>\n<body class="m">\n'
@@ -170,12 +251,19 @@ def messy_html_expr(text_col, title_col):
 def messy_html_py(text: str, title: str) -> bytes:
     """Python twin of ``messy_html_expr`` (fixtures + property tests);
     keep byte-for-byte in lockstep with the Spark expression."""
-    esc = (text.replace("&", "&amp;").replace("<", "&lt;")
-           .replace(">", "&gt;").replace("e", "&#101;"))
+    def esc_of(s: str) -> str:
+        return (s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace('"', "&quot;")
+                .replace("e", "&#101;"))
+
+    esc = esc_of(text)
+    desc = esc_of(text.split("\n")[0])
     body = "<p>" + esc.replace("\n", "</p>\n<P >") + "</p>"
     return (
         '<!DOCTYPE html>\n<html>\n<head><title>' + title +
-        '</title>\n<style>p { color: #000; }</style>\n'
+        '</title>\n<meta name="description" content="' + desc +
+        '">\n<link rel="canonical" href="' + title + '/canonical">\n'
+        '<style>p { color: #000; }</style>\n'
         '<script type="text/javascript">var decoy = '
         '"<p>not text</p>";</script>\n'
         '</head>\n<body class="m">\n'

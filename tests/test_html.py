@@ -118,3 +118,39 @@ def test_extract_sentences_html_path_on_messy_pages(spark):
     b = sorted(map(tuple, via_text.select(
         "url", "sent_id", "sent_text").collect()))
     assert a == b and len(a) > 0
+
+
+# -- head metadata ----------------------------------------------------------
+
+def test_meta_kernel_cases():
+    from ner_extractor_spark.operators.html import extract_meta
+    assert extract_meta(
+        '<head><title> A &amp; B </title></head>') == ('A & B', None, None)
+    assert extract_meta('<head><title>partial') == ('partial', None, None)
+    assert extract_meta('<meta name="DESCRIPTION" content="x">')[1] == 'x'
+    assert extract_meta(
+        '<link rel="canonical" href="https://c/1">')[2] == "https://c/1"
+    # first occurrence wins
+    t, d, c = extract_meta('<title>one</title><title>two</title>'
+                           '<meta name="description" content="a">'
+                           '<meta name="description" content="b">')
+    assert (t, d) == ("one", "a")
+    assert extract_meta(None) == (None, None, None)
+    # charrefs decoded inside attribute values
+    assert extract_meta(
+        '<meta name="description" content="x &amp; &#121;">')[1] == "x & y"
+
+
+def test_meta_roundtrip_on_messy_wrapper(spark):
+    from ner_extractor_spark.operators.html import (html_to_meta,
+                                                    messy_html_expr)
+    rows = [("u1", 'first "quoted" & line\nsecond'), ("u2", "")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = (df.select("url", messy_html_expr(
+               F.col("text"), F.col("url")).alias("html"))
+           .select("url", html_to_meta(F.col("html")).alias("m"))
+           .select("url", "m.*"))
+    got = {r["url"]: (r["title"], r["meta_description"], r["canonical"])
+           for r in out.collect()}
+    assert got["u1"] == ("u1", 'first "quoted" & line', "u1/canonical")
+    assert got["u2"] == ("u2", "", "u2/canonical")
