@@ -49,6 +49,7 @@ HEADLINE = [
     "kg_mentions",
     "kg_triples",
     "kg_link_alias",
+    "kg_link_alias_salted",  # r04: skew-salted beyond-broadcast config
     "kg_tag_linear",       # r03: forward+align+decode Arrow stage
     "text_redact",         # r03: regexp-chain redaction (pure JVM)
     "dedup_exact",

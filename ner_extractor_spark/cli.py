@@ -38,8 +38,10 @@ def resolve_run_args(args, cfg: dict) -> dict:
     cfg_run = cfg.get("run_id")
     run_id = args.run_id if args.run_id is not None \
         else ("run0" if cfg_run in (None, "") else str(cfg_run))
+    use_html = bool(getattr(args, "use_html", None) or cfg.get("use_html"))
     return {"pages": pages_path, "workdir": workdir,
-            "synth": synth_n, "lang": lang_arg, "run_id": run_id}
+            "synth": synth_n, "lang": lang_arg, "run_id": run_id,
+            "use_html": use_html}
 
 
 def main(argv=None):
@@ -55,6 +57,10 @@ def main(argv=None):
                     help="synthesize N fixture pages instead of --pages")
     kg.add_argument("--workdir")
     kg.add_argument("--lang", default=None)
+    kg.add_argument("--use-html", dest="use_html", action="store_true",
+                    default=None,
+                    help="extract text from the html column via the real "
+                         "markup-aware extractor (raw-crawl inputs)")
     kg.add_argument("--run-id", default=None)
     args = p.parse_args(argv)
 
@@ -103,13 +109,15 @@ def main(argv=None):
             "paths": {"pages": pages_persist or None,
                       "workdir": _Path(workdir).resolve()},
             "lang": lang_arg, "run_id": run_id, "synth": synth_n,
+            "use_html": run["use_html"],
         }, _Path(workdir) / "config.yaml")
     except NotImplementedError:
         pass  # no PyYAML on this driver
 
     lang = None if lang_arg in ("", "all") else lang_arg
     res = run_kg_pipeline(spark, pages, aliases, synth.tagger_dictionary(),
-                          workdir, lang=lang, run_id=run_id)
+                          workdir, lang=lang, run_id=run_id,
+                          use_html=run["use_html"])
     print(json.dumps({
         "sentences": res.sentences.count(),
         "mentions": res.mentions.count(),
