@@ -9,7 +9,8 @@ verbatim:
   1. strip the fragment (``#...``);
   2. lowercase the scheme and authority (never the path/query);
   3. drop default ports (``http://h:80``, ``https://h:443``);
-  4. collapse + strip trailing path slashes (before ``?`` and at end);
+  4. strip trailing path slashes from the base (the part before the
+     FIRST ``?`` — anything after it is query data, never rewritten);
   5. drop ``utm_*`` tracking params, sort the rest byte-wise, drop the
      ``?`` if nothing survives.
 
@@ -35,15 +36,17 @@ def canonical_url(col):
     # 3. default ports (group 2 optional: bare "http://h:80" also strips)
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?].*)?$", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?].*)?$", r"$1$2")
-    # 4. trailing path slashes: before the query always; at end of
-    #    string ONLY when there is no query — a slash ending a query
-    #    param value ('?a=b/') is data, and rewriting it would break the
-    #    module's no-param-value-rewriting conservatism (ADVICE r03)
-    u = F.regexp_replace(u, r"/+\?", "?")
-    u = F.when(u.contains("?"), u).otherwise(F.regexp_replace(u, r"/+$", ""))
-    # 5. query params: drop utm_*, byte-sort the rest
+    # 4+5. split at the FIRST '?' — everything after it is query DATA
+    #    (a '/?' or trailing '/' inside a param value is never path
+    #    syntax; rewriting it would break the module's
+    #    no-param-value-rewriting conservatism — ADVICE r03).  Trailing
+    #    path slashes are stripped from the BASE only; query params
+    #    drop utm_*, byte-sort the rest, and the '?' disappears when
+    #    nothing survives.  Both regexes match at most once (leftmost
+    #    '?'), so the DuckDB replica needs no 'g'-flag care here.
     q = F.regexp_extract(u, r"\?(.*)$", 1)
-    base = F.regexp_replace(u, r"\?.*$", "")
+    base = F.regexp_replace(F.regexp_replace(u, r"\?.*$", ""),
+                            r"/+$", "")
     kept = F.filter(F.split(q, "&"),
                     lambda p: (~p.startswith("utm_")) & (p != F.lit("")))
     canon_q = F.array_join(F.array_sort(kept), "&")
@@ -57,19 +60,16 @@ CANONICAL_URL_SQL = r"""
 SELECT u AS _in,
        CASE WHEN cq = '' THEN base ELSE base || '?' || cq END AS _out
 FROM (
-  SELECT u, regexp_replace(u5, '\?.*$', '') AS base,
+  SELECT u,
+         regexp_replace(regexp_replace(u4, '\?.*$', ''),
+                        '/+$', '') AS base,
          -- COALESCE: DuckDB's array_to_string([]) is NULL where
          -- Spark's array_join([]) is '' — without it every URL whose
          -- query is empty after filtering canonicalizes to NULL
          COALESCE(array_to_string(list_sort(list_filter(
-             string_split(regexp_extract(u5, '\?(.*)$', 1), '&'),
+             string_split(regexp_extract(u4, '\?(.*)$', 1), '&'),
              p -> NOT starts_with(p, 'utm_') AND p != '')), '&'), '') AS cq
   FROM (
-    SELECT u, CASE WHEN contains(u4q, '?') THEN u4q
-                   ELSE regexp_replace(u4q, '/+$', '') END AS u5
-    FROM (
-      SELECT u, regexp_replace(u4, '/+\?', '?') AS u4q
-      FROM (
       SELECT u, regexp_replace(regexp_replace(u2,
                  '^(http://[^/:?#]+):80([/?].*)?$', '\1\2'),
                  '^(https://[^/:?#]+):443([/?].*)?$', '\1\2') AS u4
@@ -81,7 +81,5 @@ FROM (
                      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS u2
         FROM (SELECT u, regexp_replace(u, '#.*$', '') AS u1 FROM _urls)
       )
-    )
-  )
   )
 )"""

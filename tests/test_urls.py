@@ -20,6 +20,9 @@ CASES = [
     # a slash ending a query VALUE is data, never stripped (ADVICE r03)
     ("http://ex.com/p?a=b/", "http://ex.com/p?a=b/"),
     ("http://ex.com/p/?a=b/", "http://ex.com/p?a=b/"),         # path slash still goes
+    # '/?' INSIDE a param value is data too (only the FIRST '?' is the
+    # query delimiter — r04 restructure)
+    ("http://ex.com/p/?a=b/?c", "http://ex.com/p?a=b/?c"),
 ]
 
 
