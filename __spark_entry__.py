@@ -1050,11 +1050,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this query (script bodies leak, entities stay escaped).
         from ner_extractor_spark.operators.html import (html_to_text,
                                                         messy_html_expr)
-        p = _pages(spark, sf)
+        # whitespace-only docs are excluded BEFORE the UDF with a cheap
+        # JVM predicate: filtering on the UDF *output* gets pushed below
+        # the sandbox spread-Exchange and Catalyst then evaluates the
+        # ArrowEvalPython stage TWICE (caught in PLANS.md review, r04).
+        # trim(text)=='' <=> every line strips empty <=> extracted==''.
+        p = _pages(spark, sf).filter(F.trim(F.col("text")) != "")
         messy = p.select(
             "url", messy_html_expr(F.col("text"), F.col("url")).alias("html"))
-        return (messy.select("url", html_to_text(F.col("html")).alias("text"))
-                .filter(F.col("text") != ""))
+        return messy.select("url", html_to_text(F.col("html")).alias("text"))
 
     def html_extract_meta(spark, sf):
         # head-metadata extraction (title / meta description /
