@@ -92,3 +92,20 @@ def test_alias_join_is_broadcast(spark, tmp_path):
     plan = link_exact(mentions, aliases)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_html_extraction_udf_evaluated_once(spark, tmp_path):
+    """r04 regression pin: the html->text UDF must appear in exactly ONE
+    ArrowEvalPython stage.  (A filter on the UDF output pushed below a
+    repartition Exchange made Catalyst evaluate the Python stage twice
+    over the whole corpus — caught in PLANS.md review.)"""
+    from ner_extractor_spark.operators.html import (html_to_text,
+                                                    messy_html_expr)
+    pages = _pages_on_disk(spark, tmp_path)
+    df = (pages.filter(F.trim(F.col("text")) != "")
+          .repartition(4, "url")
+          .select("url", messy_html_expr(
+              F.col("text"), F.col("url")).alias("html"))
+          .select("url", html_to_text(F.col("html")).alias("text")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
