@@ -1073,6 +1073,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", html_to_meta(F.col("html")).alias("m")).select(
             "url", "m.title", "m.meta_description", "m.canonical")
 
+    def web_url_filter(spark, sf):
+        # RefinedWeb/C4-style corpus hygiene: blocklist domains (every
+        # subdomain via the host-suffix-chain broadcast join) + blocked
+        # url terms, first-violation reason codes
+        from ner_extractor_spark.operators.webfilter import filter_urls
+        d = _docs(spark, sf)
+        url = F.concat(
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("https://ads.tracker.test/doc/"))
+            .when(F.col("doc_id") % 7 == 1,
+                  F.lit("https://sub.spam.example/doc/"))
+            .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                                F.lit(".test/doc/"))),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("/casino"))
+            .otherwise(F.lit("")))
+        blocked = spark.createDataFrame(
+            [("tracker.test",), ("spam.example",)], "domain string")
+        return filter_urls(d.select(url.alias("url")), blocked, ["casino"])
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1094,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_alias_salted": kg_link_alias_salted,  # new r04
         "curation_calibrate": curation_calibrate,     # new r04
         "html_extract_meta": html_extract_meta,       # new r04
+        "web_url_filter": web_url_filter,             # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -1735,6 +1756,39 @@ SELECT url, url AS title,
        string_split(text, chr(10))[1] AS meta_description,
        url || '/canonical' AS canonical
 FROM pages""",
+
+        "web_url_filter": r"""
+WITH up AS (
+  SELECT (CASE WHEN doc_id % 7 = 0 THEN 'https://ads.tracker.test/doc/'
+               WHEN doc_id % 7 = 1 THEN 'https://sub.spam.example/doc/'
+               ELSE 'https://' || source || '.test/doc/' END)
+         || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 11 = 0 THEN '/casino' ELSE '' END) AS url
+  FROM documents
+),
+h AS (
+  SELECT url, lower(regexp_replace(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#@]+)', 1),
+           ':[0-9]+$', '')) AS host
+  FROM up
+),
+sfx AS (
+  SELECT url, array_to_string(p[i:len(p)], '.') AS domain
+  FROM (SELECT url, string_split(host, '.') AS p FROM h),
+       unnest(generate_series(1, len(p))) t(i)
+),
+blocked AS (
+  SELECT DISTINCT url FROM sfx
+  WHERE domain IN ('tracker.test', 'spam.example')
+),
+r AS (
+  SELECT h.url, h.host,
+         CASE WHEN b.url IS NOT NULL THEN 'blocked_domain'
+              WHEN contains(lower(h.url), 'casino') THEN 'blocked_term'
+              ELSE 'ok' END AS reason
+  FROM h LEFT JOIN blocked b ON b.url = h.url
+)
+SELECT url, host, reason = 'ok' AS keep, reason FROM r""",
 
         "kg_extract_sentences": f"""
 WITH {SENTS_SQL}

@@ -1,0 +1,75 @@
+"""URL/domain filtering (RefinedWeb/C4-style corpus hygiene): drop
+pages from blocked domains (including every subdomain) and pages whose
+url contains a blocked term.
+
+Scale shapes:
+
+  * domain blocking is a BROADCAST LEFT JOIN of the page's host-suffix
+    chain against the blocklist: ``a.b.example.com`` explodes into
+    ``[a.b.example.com, b.example.com, example.com, com]`` and any
+    exact match on a suffix blocks the page — so subdomain coverage
+    costs one bounded explode (hosts have ~2-6 labels), never a LIKE
+    scan over a multi-million-row blocklist;
+  * term blocking is a pure-JVM ``exists`` HOF over a literal term
+    array (term lists are small curated sets; a huge term list would
+    move to the same suffix-join pattern on tokenized url parts).
+
+Deterministic and engine-portable (regexp + HOFs; the DuckDB oracle
+replays the identical suffix chain), first-violation reason codes in a
+fixed order: blocked_domain, then blocked_term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# userinfo may contain ':' (user:pw@); the host may not contain '@'
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#@]*@)?([^/:?#@]+)"
+
+
+def url_host(col):
+    """Lowercased host of a URL ('' when there is no scheme://host);
+    userinfo@ and :port are excluded."""
+    return F.lower(F.regexp_replace(
+        F.regexp_extract(col, _HOST_RE, 2), r":\d+$", ""))
+
+
+def host_suffixes(host_col):
+    """The dot-suffix chain of a host: a.b.c -> [a.b.c, b.c, c]."""
+    parts = F.split(host_col, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."))
+
+
+def filter_urls(pages: DataFrame, blocked_domains: DataFrame,
+                blocked_terms: list[str],
+                url_col: str = "url") -> DataFrame:
+    """(url, host, keep, reason) per page.
+
+    ``blocked_domains``: one lowercase ``domain`` column (exact hosts or
+    registrable suffixes — 'example.com' blocks every subdomain).
+    ``blocked_terms``: lowercase substrings matched against the whole
+    lowercased url (path+query included).
+    """
+    u = F.col(url_col)
+    hosts = pages.select(u.alias("url"), url_host(u).alias("host"))
+    sfx = hosts.select(
+        "url", F.explode(host_suffixes(F.col("host"))).alias("domain"))
+    blocked = (sfx.join(F.broadcast(
+        blocked_domains.select(F.lower("domain").alias("domain"))
+        .distinct()), on="domain", how="inner")
+        .select("url").distinct()
+        .withColumn("_dom_block", F.lit(True)))
+    term_arr = F.array(*[F.lit(t.lower()) for t in blocked_terms]) \
+        if blocked_terms else F.array().cast("array<string>")
+    term_hit = F.exists(term_arr, lambda t: F.contains(F.lower(u), t))
+    reason = (
+        F.when(F.coalesce(F.col("_dom_block"), F.lit(False)),
+               F.lit("blocked_domain"))
+        .when(term_hit, F.lit("blocked_term"))
+        .otherwise(F.lit("ok")))
+    return (hosts.join(blocked, on="url", how="left")
+            .select("url", "host", (reason == "ok").alias("keep"),
+                    reason.alias("reason")))

@@ -1,0 +1,61 @@
+"""URL/domain filtering: suffix-chain subdomain blocking, term
+blocking, reason precedence, broadcast plan."""
+
+from pyspark.sql import functions as F
+
+from ner_extractor_spark.operators.webfilter import (filter_urls,
+                                                     host_suffixes,
+                                                     url_host)
+
+
+def test_url_host_and_suffixes(spark):
+    rows = [("https://A.B.Example.COM:8443/p?q=1",),
+            ("http://user:pw@host.test/x",),
+            ("no-scheme/path",)]
+    df = spark.createDataFrame(rows, "u string")
+    got = df.select(
+        url_host(F.col("u")).alias("h"),
+        host_suffixes(url_host(F.col("u"))).alias("s")).collect()
+    assert got[0]["h"] == "a.b.example.com"
+    assert got[0]["s"] == ["a.b.example.com", "b.example.com",
+                           "example.com", "com"]
+    assert got[1]["h"] == "host.test"
+    assert got[2]["h"] == ""
+
+
+def test_filter_urls_semantics(spark):
+    pages = spark.createDataFrame([
+        ("https://news.example.org/a",),         # ok
+        ("https://ads.tracker.test/b",),         # subdomain of blocked
+        ("https://tracker.test/c",),             # exact blocked
+        ("https://clean.test/casino-review",),   # term hit
+        ("https://ads.tracker.test/casino",),    # domain wins over term
+        ("https://nottracker.test/d",),          # NOT a dot-suffix match
+    ], "url string")
+    blocked = spark.createDataFrame(
+        [("tracker.test",), ("spam.example",)], "domain string")
+    got = {r["url"]: (r["keep"], r["reason"])
+           for r in filter_urls(pages, blocked, ["casino"]).collect()}
+    assert got["https://news.example.org/a"] == (True, "ok")
+    assert got["https://ads.tracker.test/b"] == (False, "blocked_domain")
+    assert got["https://tracker.test/c"] == (False, "blocked_domain")
+    assert got["https://clean.test/casino-review"] == \
+        (False, "blocked_term")
+    assert got["https://ads.tracker.test/casino"] == \
+        (False, "blocked_domain")
+    assert got["https://nottracker.test/d"] == (True, "ok")
+
+
+def test_filter_urls_blocklist_join_is_broadcast(spark):
+    pages = spark.createDataFrame([("https://a.test/x",)], "url string")
+    blocked = spark.createDataFrame([("b.test",)], "domain string")
+    plan = filter_urls(pages, blocked, [])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_filter_urls_empty_terms_and_empty_blocklist(spark):
+    pages = spark.createDataFrame([("https://a.test/x",)], "url string")
+    blocked = spark.createDataFrame([], "domain string")
+    got = filter_urls(pages, blocked, []).collect()
+    assert got[0]["keep"] is True and got[0]["reason"] == "ok"
