@@ -1093,6 +1093,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("tracker.test",), ("spam.example",)], "domain string")
         return filter_urls(d.select(url.alias("url")), blocked, ["casino"])
 
+    def text_quality_classifier(spark, sf):
+        # model-based quality gating (fastText/FineWeb-classifier
+        # shape): hashing-trick features x broadcast linear weights ->
+        # sigmoid -> keep.  Weights are the md5-derived stand-in (real
+        # trained weights load as the same two-column DataFrame).
+        from ner_extractor_spark.operators.classifier import (
+            classify_docs, synthetic_weights)
+        return classify_docs(_docs(spark, sf), synthetic_weights(spark))
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1115,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_calibrate": curation_calibrate,     # new r04
         "html_extract_meta": html_extract_meta,       # new r04
         "web_url_filter": web_url_filter,             # new r04
+        "text_quality_classifier": text_quality_classifier,  # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -1789,6 +1799,36 @@ r AS (
   FROM h LEFT JOIN blocked b ON b.url = h.url
 )
 SELECT url, host, reason = 'ok' AS keep, reason FROM r""",
+
+        "text_quality_classifier": f"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                                              '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents)
+  WHERE t != ''
+),
+feat AS (
+  SELECT doc_id,
+         CAST({_hexn_fold_sql("md5(term)", 8)} % 1024 AS INT) AS bucket
+  FROM toks
+),
+wt AS (
+  SELECT CAST(i AS INT) AS bucket,
+         ({_hexn_fold_sql("md5('qw|' || CAST(i AS VARCHAR))", 8)} % 2048
+          - 1024) / 1024.0 AS w
+  FROM (SELECT unnest(generate_series(0, 1023)) AS i)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         round(avg(COALESCE(w, 0)), 6) AS score
+  FROM feat LEFT JOIN wt USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score,
+       round(1.0 / (1.0 + exp(-score)), 6) AS prob,
+       round(1.0 / (1.0 + exp(-score)), 6) >= 0.5 AS keep
+FROM agg""",
 
         "kg_extract_sentences": f"""
 WITH {SENTS_SQL}
