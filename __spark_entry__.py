@@ -1102,6 +1102,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             classify_docs, synthetic_weights)
         return classify_docs(_docs(spark, sf), synthetic_weights(spark))
 
+    def dedup_first_seen_q(spark, sf):
+        # crawl-semantics exact dedup: FIRST capture wins (min (ts,url)
+        # via one min(struct) aggregate — no window); batch twin of the
+        # streaming watermark dedup
+        from ner_extractor_spark.operators.dedup import dedup_first_seen
+        return dedup_first_seen(_pages(spark, sf))
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1125,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_meta": html_extract_meta,       # new r04
         "web_url_filter": web_url_filter,             # new r04
         "text_quality_classifier": text_quality_classifier,  # new r04
+        "dedup_first_seen": dedup_first_seen_q,       # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -1829,6 +1837,27 @@ SELECT doc_id, n_terms, score,
        round(1.0 / (1.0 + exp(-score)), 6) AS prob,
        round(1.0 / (1.0 + exp(-score)), 6) >= 0.5 AS keep
 FROM agg""",
+
+        "dedup_first_seen": f"""
+WITH {PAGES_SQL},
+pts AS (
+  SELECT url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT))
+           AS warc_ts,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM pages
+),
+r AS (
+  SELECT h, url, warc_ts,
+         row_number() OVER (PARTITION BY h
+                            ORDER BY warc_ts, url) AS rk,
+         count(*) OVER (PARTITION BY h) AS n_copies
+  FROM pts
+)
+SELECT h, url AS keeper, warc_ts AS first_ts,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM r WHERE rk = 1""",
 
         "kg_extract_sentences": f"""
 WITH {SENTS_SQL}

@@ -39,6 +39,28 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def dedup_first_seen(pages: DataFrame, id_col: str = "url",
+                     ts_col: str = "warc_ts",
+                     text_col: str = "text") -> DataFrame:
+    """Time-ordered exact dedup (crawl semantics: the FIRST capture of
+    a page's content is the keeper — re-crawls and mirrors drop):
+    (h, keeper, first_ts, n_copies) per content digest.
+
+    Deterministic keeper = min (ts, id) pair via a single ``min(struct)``
+    aggregate — no window, one skew-free shuffle on the digest; the
+    batch twin of ``streaming.kg_stream.dedup_pages_stream`` (which
+    keeps the first ARRIVAL inside the watermark horizon — equal
+    content-key sets, pinned in tests/test_dedup.py)."""
+    return (
+        pages.select(F.col(id_col).alias("_id"), F.col(ts_col).alias("_ts"),
+                     F.md5(normalize_text(F.col(text_col))).alias("h"))
+        .groupBy("h")
+        .agg(F.min(F.struct(F.col("_ts"), F.col("_id"))).alias("m"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .select("h", F.col("m._id").alias("keeper"),
+                F.col("m._ts").alias("first_ts"), "n_copies"))
+
+
 def word_shingles(col, n: int = 3):
     """Distinct word n-gram shingles of a text column (built-ins only)."""
     toks = F.split(normalize_text(col), " ")

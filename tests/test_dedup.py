@@ -189,3 +189,43 @@ def test_dup_ngram_fraction_short_doc_and_within_doc_repeat(spark):
     got = {r["doc_id"]: r for r in dup_ngram_fraction(docs).collect()}
     assert (got[1]["n_ngrams"], got[1]["n_dup"]) == (1, 0)
     assert (got[2]["n_ngrams"], got[2]["n_dup"]) == (1, 0)
+
+
+def test_dedup_first_seen_crawl_semantics(spark):
+    """First capture wins; ts tie breaks on min id; n_copies counts all
+    captures; and the content-key survivor set equals the streaming
+    dedup's (batch/stream twin pin)."""
+    from datetime import datetime
+
+    from ner_extractor_spark.operators.dedup import dedup_first_seen
+    t = datetime(2024, 1, 1)
+    t2 = datetime(2024, 1, 2)
+    rows = [
+        ("u1", t2, "Shared  content"),
+        ("u2", t, "shared content"),         # earlier -> keeper
+        ("u3", t, "unique page"),
+        ("u4", t, "SHARED CONTENT"),         # same ts as u2: id tiebreak
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string")
+    got = {r["h"]: r for r in dedup_first_seen(pages).collect()}
+    assert len(got) == 2
+    shared = [r for r in got.values() if r["n_copies"] == 3][0]
+    assert shared["keeper"] == "u2" and shared["first_ts"] == t
+
+    # streaming twin: same distinct-content survivor count
+    from ner_extractor_spark.schemas import PAGES
+    from ner_extractor_spark.streaming.kg_stream import dedup_pages_stream
+    import tempfile
+    src = tempfile.mkdtemp() + "/src"
+    spark.createDataFrame(
+        [(u, ts, None, tx, "en") for u, ts, tx in rows],
+        schema=PAGES).write.parquet(src)
+    stream = spark.readStream.schema(PAGES).format("parquet").load(src)
+    out = tempfile.mkdtemp() + "/out"
+    q = (dedup_pages_stream(stream).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", tempfile.mkdtemp())
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 2
