@@ -1109,6 +1109,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.operators.dedup import dedup_first_seen
         return dedup_first_seen(_pages(spark, sf))
 
+    def bpe_train(spark, sf):
+        # tokenizer training: learn 6 BPE merge rules over the corpus
+        # word-count table (iterative bounded-vocabulary job — the
+        # pair-count state never scales with corpus size)
+        from ner_extractor_spark.operators.bpe import train_bpe
+        return train_bpe(_docs(spark, sf), n_merges=6)
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1133,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_filter": web_url_filter,             # new r04
         "text_quality_classifier": text_quality_classifier,  # new r04
         "dedup_first_seen": dedup_first_seen_q,       # new r04
+        "bpe_train": bpe_train,                       # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -1426,6 +1434,47 @@ def _mm_feature_terms(dim: int = 8) -> str:
         f"CAST((((strpos('0123456789abcdef', substring(ph, {2 * i + 1}, 1)) - 1)"
         f" * 16 + (strpos('0123456789abcdef', substring(ph, {2 * i + 2}, 1)) - 1)"
         f") / 255.0) AS REAL)" for i in range(dim))
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Generated k-round replica of operators/bpe.train_bpe: each round
+    re-counts adjacent pairs, picks the deterministic argmax, and
+    applies the merge with a list_reduce fold string-encoded on '|'
+    (same classic greedy semantics as the Spark HOF fold)."""
+    parts = [r"""w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                                   '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents)
+  WHERE word != '' GROUP BY word
+),
+s0 AS (
+  SELECT word, cnt,
+         list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+  FROM w0
+)"""]
+    for i in range(1, k + 1):
+        parts.append(rf""",
+p{i} AS (
+  SELECT syms[j] AS l, syms[j + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM s{i - 1}, unnest(generate_series(1, len(syms) - 1)) t(j)
+  WHERE len(syms) > 1
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+s{i} AS (
+  SELECT word, cnt,
+         string_split(list_reduce(list_prepend('', syms),
+           (acc, x) -> CASE
+             WHEN regexp_extract(acc, '\|([^|]*)$', 1) = b.l AND x = b.r
+             THEN regexp_replace(acc, '\|[^|]*$', '') || '|' || b.l || b.r
+             ELSE acc || '|' || x END), '|')[2:] AS syms
+  FROM s{i - 1}, b{i} b
+)""")
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS INT) AS rank, l AS "left", r AS "right", '
+        f"l || r AS merged, c FROM b{i}" for i in range(1, k + 1))
+    return "WITH " + "".join(parts) + "\n" + sel
 
 
 def _hexn_fold_sql(hexpr: str, n: int, start: int = 1) -> str:
@@ -1858,6 +1907,8 @@ r AS (
 SELECT h, url AS keeper, warc_ts AS first_ts,
        CAST(n_copies AS BIGINT) AS n_copies
 FROM r WHERE rk = 1""",
+
+        "bpe_train": _bpe_oracle_sql(6),
 
         "kg_extract_sentences": f"""
 WITH {SENTS_SQL}

@@ -1,0 +1,117 @@
+"""BPE merge-rule training over the corpus (Sennrich et al. 2016 —
+the tokenizer-training step of an LLM data pipeline, expressed as an
+iterative DataFrame job; the inference-side BPE-ish token counting
+lives in functions/text.py).
+
+Algorithm (classic greedy BPE on the word-count table):
+
+  1. one corpus pass builds (word, cnt) with map-side combine — the
+     only corpus-sized shuffle; every round after operates on the WORD
+     VOCABULARY (bounded, zipf-truncatable), never the corpus;
+  2. each round: explode adjacent symbol pairs weighted by cnt,
+     groupBy-sum (state bounded by the pair vocabulary), pick the
+     most frequent pair (ties: lexicographic (left, right) — fully
+     deterministic), apply the merge to every word;
+  3. the merge application is a pure HOF fold (``F.aggregate``) with
+     CLASSIC left-to-right non-overlapping semantics — a run of n
+     identical symbols merges to floor(n/2) pairs, matching the
+     reference algorithm (pinned against a pure-Python replica in
+     tests/test_bpe.py and a DuckDB ``list_reduce`` oracle replica).
+
+Driver loop posture: one 1-row collect per round (the argmax pair) and
+a ``localCheckpoint`` lineage barrier per round — the same discipline
+as graph.pagerank / embed_viz KMeans; rounds are short bounded jobs,
+and k (the merge budget) is a hyperparameter, not data-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import normalize_text
+
+END = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over normalized whitespace tokens."""
+    return (docs.select(F.explode(F.split(normalize_text(F.col(text_col)),
+                                          " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def init_symbols(words: DataFrame) -> DataFrame:
+    """(word, cnt, syms): characters plus the end-of-word marker."""
+    return words.select(
+        "word", "cnt",
+        F.concat(F.split(F.col("word"), ""),
+                 F.array(F.lit(END))).alias("syms"))
+
+
+def adjacent_pair_counts(words: DataFrame) -> DataFrame:
+    """(left, right, c): adjacent-symbol pair counts weighted by word
+    count — bounded by the pair vocabulary, map-side combined."""
+    # guard: sequence(1, 0) DESCENDS to [1, 0] for single-symbol words,
+    # sending element_at out of bounds (ANSI) — filter them out first
+    pairs = F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(F.element_at("syms", i).alias("l"),
+                           F.element_at("syms", i + F.lit(1)).alias("r"))))
+    return (words.filter(F.size("syms") > 1)
+            .select(pairs.alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+            .agg(F.sum("cnt").alias("c")))
+
+
+def apply_merge(syms_col, left: str, right: str):
+    """Classic greedy merge of (left, right) -> left+right, as a pure
+    fold: scan symbols once, merging when the accumulated tail is
+    ``left`` and the incoming symbol is ``right`` (a fresh merge result
+    never re-matches ``left`` because left+right != left)."""
+    return F.aggregate(
+        syms_col, F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, F.lit(-1)) == left) & (x == right),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(left + right)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def train_bpe(docs: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> DataFrame:
+    """Learn ``n_merges`` merge rules; returns (rank, left, right,
+    merged, c) ordered by rank — the artifact a tokenizer ships."""
+    spark = docs.sparkSession
+    words = init_symbols(word_counts(docs, text_col)).localCheckpoint()
+    rules = []
+    for rank in range(1, n_merges + 1):
+        top = (adjacent_pair_counts(words)
+               .orderBy(F.desc("c"), F.asc("left"), F.asc("right"))
+               .limit(1).collect())
+        if not top:
+            break
+        left, right, c = top[0]["left"], top[0]["right"], top[0]["c"]
+        rules.append((rank, left, right, left + right, c))
+        words = words.select(
+            "word", "cnt",
+            apply_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "rank int, left string, right string, merged string, c bigint")
+
+
+def encode_word(word: str, rules: list[tuple[str, str]]) -> list[str]:
+    """Driver-side reference encoder (tests + docs): apply the learned
+    rules in rank order to one word."""
+    syms = list(word) + [END]
+    for left, right in rules:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms

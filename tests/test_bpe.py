@@ -1,0 +1,84 @@
+"""BPE merge-rule training: classic greedy semantics vs a pure-Python
+replica, determinism, run-handling, and the vocabulary-not-corpus
+iteration shape."""
+
+from collections import Counter
+
+from ner_extractor_spark.operators.bpe import (END, apply_merge,
+                                               train_bpe, word_counts)
+
+
+def _python_bpe(texts, n_merges):
+    """Reference implementation (Sennrich et al. pseudocode)."""
+    wc = Counter()
+    for t in texts:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w:
+                wc[w] += 1
+    vocab = {w: list(w) + [END] for w in wc}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wc[w]
+        if not pairs:
+            break
+        # max count, ties lexicographic (left, right)
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((rank, l, r, l + r, c))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return rules
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wide wider widest",
+    "aaaa aaa aa",          # identical-symbol runs (greedy edge case)
+]
+
+
+def test_train_bpe_matches_python_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string")
+    got = [tuple(r) for r in train_bpe(docs, n_merges=10).collect()]
+    want = _python_bpe(TEXTS, 10)
+    assert got == want, (got, want)
+    assert len(got) == 10 and got[0][0] == 1
+
+
+def test_apply_merge_run_semantics(spark):
+    """A run of n identical symbols merges to floor(n/2) pairs —
+    classic left-to-right greedy, not regex-replace semantics."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a", "a"],)], "syms array<string>")
+    got = df.select(apply_merge(F.col("syms"), "a", "a").alias("m")) \
+        .first()["m"]
+    assert got == ["aa", "aa", "a"]
+
+
+def test_train_bpe_deterministic_and_stops_when_exhausted(spark):
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id int, text string")
+    r1 = [tuple(r) for r in train_bpe(docs, n_merges=50).collect()]
+    r2 = [tuple(r) for r in train_bpe(docs, n_merges=50).collect()]
+    assert r1 == r2
+    # 'ab' needs 2 merges (a+b, ab+</w>); after that no pairs remain
+    assert len(r1) == 2
+    assert r1[0][1:4] == ("a", "b", "ab")
+    assert r1[1][1:4] == ("ab", END, "ab" + END)
+
+
+def test_word_counts_normalizes(spark):
+    docs = spark.createDataFrame(
+        [(1, "  The   the THE "), (2, "x")], "doc_id int, text string")
+    got = {r["word"]: r["cnt"] for r in word_counts(docs).collect()}
+    assert got == {"the": 3, "x": 1}
