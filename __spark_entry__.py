@@ -1116,6 +1116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.operators.bpe import train_bpe
         return train_bpe(_docs(spark, sf), n_merges=6)
 
+    def bpe_encode_q(spark, sf):
+        # tokenizer application: the 6 learned rules re-encode the
+        # corpus (folds over the distinct-word table, one corpus join)
+        from ner_extractor_spark.operators.bpe import bpe_encode, train_bpe
+        d = _docs(spark, sf)
+        rules = [(r["left"], r["right"])
+                 for r in train_bpe(d, n_merges=6).collect()]
+        return bpe_encode(d, rules)
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1141,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": text_quality_classifier,  # new r04
         "dedup_first_seen": dedup_first_seen_q,       # new r04
         "bpe_train": bpe_train,                       # new r04
+        "bpe_encode": bpe_encode_q,                   # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -1434,6 +1444,27 @@ def _mm_feature_terms(dim: int = 8) -> str:
         f"CAST((((strpos('0123456789abcdef', substring(ph, {2 * i + 1}, 1)) - 1)"
         f" * 16 + (strpos('0123456789abcdef', substring(ph, {2 * i + 2}, 1)) - 1)"
         f") / 255.0) AS REAL)" for i in range(dim))
+
+
+def _bpe_encode_oracle_sql(k: int) -> str:
+    """Corpus tokens joined against the round-k symbolization table of
+    _bpe_oracle_sql's rounds (the encoder is the trainer's fold applied
+    to the distinct-word table)."""
+    rounds = _bpe_oracle_sql(k).split("\nSELECT CAST(1")[0]
+    return rounds + rf""",
+nt2 AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+dtoks AS (
+  SELECT doc_id, j - 1 AS pos, w[j] AS word
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM nt2),
+       unnest(generate_series(1, len(w))) t2(j)
+  WHERE w[j] != ''
+)
+SELECT d.doc_id, CAST(d.pos AS INT) AS pos, d.word,
+       array_to_string(s.syms, ' ') AS encoded
+FROM dtoks d JOIN s{k} s ON s.word = d.word"""
 
 
 def _bpe_oracle_sql(k: int) -> str:
@@ -1909,6 +1940,7 @@ SELECT h, url AS keeper, warc_ts AS first_ts,
 FROM r WHERE rk = 1""",
 
         "bpe_train": _bpe_oracle_sql(6),
+        "bpe_encode": _bpe_encode_oracle_sql(6),
 
         "kg_extract_sentences": f"""
 WITH {SENTS_SQL}

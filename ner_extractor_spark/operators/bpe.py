@@ -102,6 +102,35 @@ def train_bpe(docs: DataFrame, n_merges: int = 8,
         rules, "rank int, left string, right string, merged string, c bigint")
 
 
+def bpe_encode(docs: DataFrame, rules: list[tuple[str, str]],
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, word, encoded): the corpus tokenized under learned
+    merge rules (rank order).
+
+    Scale shape: the merge folds run over the DISTINCT-WORD table (one
+    ``apply_merge`` + localCheckpoint per rule — work ∝ vocabulary,
+    exactly like training), then one join maps the corpus tokens to
+    their encodings.  The join key is the word — zipf-hot ('the'-class
+    stopwords), the AQE-skew-join / salt_explode posture shared with
+    the TF-IDF idf join."""
+    toks = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " "))
+        .alias("pos", "word"))
+        .filter(F.col("word") != ""))
+    syms = init_symbols(
+        toks.select("word").distinct().withColumn("cnt", F.lit(1)))
+    for left, right in rules:
+        syms = syms.select(
+            "word", "cnt",
+            apply_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint()
+    enc = syms.select("word", F.array_join("syms", " ").alias("encoded"))
+    return toks.join(enc, on="word").select("doc_id", "pos", "word",
+                                            "encoded")
+
+
 def encode_word(word: str, rules: list[tuple[str, str]]) -> list[str]:
     """Driver-side reference encoder (tests + docs): apply the learned
     rules in rank order to one word."""

@@ -82,3 +82,17 @@ def test_word_counts_normalizes(spark):
         [(1, "  The   the THE "), (2, "x")], "doc_id int, text string")
     got = {r["word"]: r["cnt"] for r in word_counts(docs).collect()}
     assert got == {"the": 3, "x": 1}
+
+
+def test_bpe_encode_matches_driver_encoder(spark):
+    from ner_extractor_spark.operators.bpe import bpe_encode, encode_word
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string")
+    rules = [(r[1], r[2]) for r in _python_bpe(TEXTS, 6)]
+    got = {(r["doc_id"], r["pos"]): (r["word"], r["encoded"])
+           for r in bpe_encode(docs, rules).collect()}
+    for (doc_id, pos), (word, encoded) in got.items():
+        assert encoded == " ".join(encode_word(word, rules)), (word, encoded)
+    # every token position of every doc is present
+    n_tokens = sum(len(t.split()) for t in TEXTS)
+    assert len(got) == n_tokens
