@@ -208,6 +208,12 @@ def pair_run(hi: int, lo: int, sf_dir: str, replicate: int) -> dict:
                "--replicate", str(replicate)]
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        if out.returncode != 0 or not out.stdout.strip():
+            tail = out.stderr.strip().splitlines()[-1] if out.stderr.strip() \
+                else "(no stderr)"
+            raise RuntimeError(
+                f"scaling leg cpus={cpus} failed (rc={out.returncode}): "
+                f"{tail}")
         line = out.stdout.strip().splitlines()[-1]
         legs[cpus] = json.loads(line)
     speedup = legs[hi]["pages_per_sec"] / legs[lo]["pages_per_sec"]

@@ -53,8 +53,11 @@ def filter_urls(pages: DataFrame, blocked_domains: DataFrame,
     ``blocked_terms``: lowercase substrings matched against the whole
     lowercased url (path+query included).
     """
-    u = F.col(url_col)
-    hosts = pages.select(u.alias("url"), url_host(u).alias("host"))
+    hosts = pages.select(F.col(url_col).alias("url"),
+                         url_host(F.col(url_col)).alias("host"))
+    # downstream expressions key on the ALIASED column — referencing
+    # url_col here would break for any non-default column name
+    u = F.col("url")
     sfx = hosts.select(
         "url", F.explode(host_suffixes(F.col("host"))).alias("domain"))
     blocked = (sfx.join(F.broadcast(

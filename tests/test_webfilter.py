@@ -59,3 +59,16 @@ def test_filter_urls_empty_terms_and_empty_blocklist(spark):
     blocked = spark.createDataFrame([], "domain string")
     got = filter_urls(pages, blocked, []).collect()
     assert got[0]["keep"] is True and got[0]["reason"] == "ok"
+
+
+def test_filter_urls_custom_url_column(spark):
+    """Regression: a non-default url column name must work (the
+    expressions key on the aliased column, r04 self-review)."""
+    pages = spark.createDataFrame(
+        [("https://ads.tracker.test/x",), ("https://ok.test/casino",)],
+        "page_url string")
+    blocked = spark.createDataFrame([("tracker.test",)], "domain string")
+    got = {r["url"]: r["reason"] for r in filter_urls(
+        pages, blocked, ["casino"], url_col="page_url").collect()}
+    assert got["https://ads.tracker.test/x"] == "blocked_domain"
+    assert got["https://ok.test/casino"] == "blocked_term"
