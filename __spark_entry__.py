@@ -1054,8 +1054,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JVM predicate: filtering on the UDF *output* gets pushed below
         # the sandbox spread-Exchange and Catalyst then evaluates the
         # ArrowEvalPython stage TWICE (caught in PLANS.md review, r04).
-        # trim(text)=='' <=> every line strips empty <=> extracted==''.
-        p = _pages(spark, sf).filter(F.trim(F.col("text")) != "")
+        # A doc extracts to '' iff every char is ASCII whitespace —
+        # regexp \s (not trim(), which is space-only) matches the
+        # extractor's per-line Python strip and the oracle's trim set.
+        p = _pages(spark, sf).filter(
+            F.regexp_replace(F.col("text"), r"\s", "") != "")
         messy = p.select(
             "url", messy_html_expr(F.col("text"), F.col("url")).alias("html"))
         return messy.select("url", html_to_text(F.col("html")).alias("text"))

@@ -283,10 +283,15 @@ def canonical_lines(text: str) -> str:
 
 
 #: expected extractor output per url, computed from the CLEAN text —
-#: embed after a CTE named ``pages`` with (url, text) columns
+#: embed after a CTE named ``pages`` with (url, text) columns.  The
+#: per-line trim strips the full ASCII whitespace set (space, \t, \v,
+#: \f, \r) to match Python ``str.strip`` — DuckDB's bare trim() strips
+#: spaces only and would diverge on tab-padded lines.
 MESSY_EXPECTED_SQL = """
 ln AS (
-  SELECT url, i, trim(string_split(text, chr(10))[i]) AS line
+  SELECT url, i,
+         trim(string_split(text, chr(10))[i],
+              ' ' || chr(9) || chr(11) || chr(12) || chr(13)) AS line
   FROM pages,
        unnest(generate_series(1, len(string_split(text, chr(10))))) t(i)
 ),
