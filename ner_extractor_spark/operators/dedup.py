@@ -311,7 +311,8 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         # as a broadcast literal — same bits, one hash per cell total.
         if literal_planes:
             if dim is None:
-                dim = len(emb.select(vec_col).limit(1).first()[0])
+                row = emb.select(vec_col).limit(1).first()
+                dim = len(row[0]) if row and row[0] is not None else 1
             planes = [[plane_sign(k, d) for d in range(dim)]
                       for k in range(n_planes)]
 
