@@ -43,13 +43,23 @@ def host_suffixes(host_col):
         lambda i: F.array_join(F.slice(parts, i, n), "."))
 
 
-def filter_urls(pages: DataFrame, blocked_domains: DataFrame,
+def filter_urls(pages: DataFrame, blocked_domains,
                 blocked_terms: list[str],
                 url_col: str = "url") -> DataFrame:
     """(url, host, keep, reason) per page.
 
-    ``blocked_domains``: one lowercase ``domain`` column (exact hosts or
-    registrable suffixes — 'example.com' blocks every subdomain).
+    ``blocked_domains``: exact hosts or registrable suffixes
+    ('example.com' blocks every subdomain), as either
+
+      * a ``list``/``tuple`` — curated lists ride as an array literal
+        and the whole filter is a ZERO-SHUFFLE map
+        (``arrays_overlap`` over the suffix chain), or
+      * a one-column ``domain`` DataFrame — the multi-million-row
+        blocklist case: suffix-chain × broadcast blocklist semi join,
+        then a join-back keyed on url to re-attach the flag (the one
+        shuffle of this mode; pass a list when the blocklist fits a
+        literal).
+
     ``blocked_terms``: lowercase substrings matched against the whole
     lowercased url (path+query included).
     """
@@ -58,13 +68,23 @@ def filter_urls(pages: DataFrame, blocked_domains: DataFrame,
     # downstream expressions key on the ALIASED column — referencing
     # url_col here would break for any non-default column name
     u = F.col("url")
-    sfx = hosts.select(
-        "url", F.explode(host_suffixes(F.col("host"))).alias("domain"))
-    blocked = (sfx.join(F.broadcast(
-        blocked_domains.select(F.lower("domain").alias("domain"))
-        .distinct()), on="domain", how="inner")
-        .select("url").distinct()
-        .withColumn("_dom_block", F.lit(True)))
+    if isinstance(blocked_domains, (list, tuple)):
+        if blocked_domains:
+            dom_arr = F.array(*[F.lit(d.lower()) for d in blocked_domains])
+            dom_hit = F.arrays_overlap(host_suffixes(F.col("host")),
+                                       dom_arr)
+        else:
+            dom_hit = F.lit(False)
+        flagged = hosts.withColumn("_dom_block", dom_hit)
+    else:
+        sfx = hosts.select(
+            "url", F.explode(host_suffixes(F.col("host"))).alias("domain"))
+        blocked = (sfx.join(F.broadcast(
+            blocked_domains.select(F.lower("domain").alias("domain"))
+            .distinct()), on="domain", how="inner")
+            .select("url").distinct()
+            .withColumn("_dom_block", F.lit(True)))
+        flagged = hosts.join(blocked, on="url", how="left")
     term_arr = F.array(*[F.lit(t.lower()) for t in blocked_terms]) \
         if blocked_terms else F.array().cast("array<string>")
     term_hit = F.exists(term_arr, lambda t: F.contains(F.lower(u), t))
@@ -73,6 +93,5 @@ def filter_urls(pages: DataFrame, blocked_domains: DataFrame,
                F.lit("blocked_domain"))
         .when(term_hit, F.lit("blocked_term"))
         .otherwise(F.lit("ok")))
-    return (hosts.join(blocked, on="url", how="left")
-            .select("url", "host", (reason == "ok").alias("keep"),
-                    reason.alias("reason")))
+    return flagged.select("url", "host", (reason == "ok").alias("keep"),
+                          reason.alias("reason"))

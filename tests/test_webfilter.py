@@ -72,3 +72,19 @@ def test_filter_urls_custom_url_column(spark):
         pages, blocked, ["casino"], url_col="page_url").collect()}
     assert got["https://ads.tracker.test/x"] == "blocked_domain"
     assert got["https://ok.test/casino"] == "blocked_term"
+
+
+def test_filter_urls_literal_mode_zero_shuffle(spark):
+    """A list blocklist must produce the same verdicts as the DataFrame
+    mode with NO Exchange anywhere (pure map)."""
+    urls = [("https://news.example.org/a",),
+            ("https://ads.tracker.test/b",),
+            ("https://clean.test/casino-review",)]
+    pages = spark.createDataFrame(urls, "url string")
+    bl_df = spark.createDataFrame([("tracker.test",)], "domain string")
+    via_df = sorted(map(tuple,
+                        filter_urls(pages, bl_df, ["casino"]).collect()))
+    lit_out = filter_urls(pages, ["Tracker.TEST"], ["casino"])
+    assert sorted(map(tuple, lit_out.collect())) == via_df
+    plan = lit_out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
