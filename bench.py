@@ -237,7 +237,20 @@ def main():
     if "--pair" in sys.argv:
         i = sys.argv.index("--pair")
         hi, lo = int(sys.argv[i + 1]), int(sys.argv[i + 2])
-        print(json.dumps(pair_run(hi, lo, sf_dir, replicate)))
+        n_pairs = 1
+        if "--pairs" in sys.argv:
+            n_pairs = int(sys.argv[sys.argv.index("--pairs") + 1])
+        results = [pair_run(hi, lo, sf_dir, replicate)
+                   for _ in range(n_pairs)]
+        if n_pairs == 1:
+            print(json.dumps(results[0]))
+        else:
+            effs = sorted(r["efficiency"] for r in results)
+            print(json.dumps({
+                "metric": "kg_pipeline_scaling_pairs",
+                "median_efficiency": effs[len(effs) // 2],
+                "efficiencies": [r["efficiency"] for r in results],
+                "pairs": results, "unit": "ratio"}))
         return
     if "--scaling" in sys.argv:
         print(json.dumps(scaling_run(
