@@ -1128,6 +1128,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  for r in train_bpe(d, n_merges=6).collect()]
         return bpe_encode(d, rules)
 
+    def text_hashed_embed(spark, sf):
+        # text->vector bridge: feature-hashed L2-normalized doc
+        # embeddings (components rounded for the cross-engine hash;
+        # the operator itself returns raw doubles)
+        from ner_extractor_spark.operators.embed_text import \
+            hashed_tf_embed
+        return hashed_tf_embed(_docs(spark, sf), dim=32).select(
+            "doc_id",
+            F.transform("embedding", lambda x: F.round(x, 6))
+            .alias("embedding"))
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1154,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_seen": dedup_first_seen_q,       # new r04
         "bpe_train": bpe_train,                       # new r04
         "bpe_encode": bpe_encode_q,                   # new r04
+        "text_hashed_embed": text_hashed_embed,       # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -1944,6 +1956,38 @@ FROM r WHERE rk = 1""",
 
         "bpe_train": _bpe_oracle_sql(6),
         "bpe_encode": _bpe_encode_oracle_sql(6),
+
+        "text_hashed_embed": f"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                                              '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents)
+  WHERE t != ''
+),
+cnt AS (
+  SELECT doc_id,
+         CAST({_hexn_fold_sql("md5(term)", 8)} % 32 AS INT) AS bucket,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM toks GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.doc_id, g.i AS bucket
+  FROM (SELECT DISTINCT doc_id FROM cnt) d,
+       unnest(generate_series(0, 31)) g(i)
+),
+dense AS (
+  SELECT g.doc_id, g.bucket, COALESCE(cnt.c, 0) AS c
+  FROM grid g LEFT JOIN cnt USING (doc_id, bucket)
+),
+nrm AS (
+  SELECT doc_id, sqrt(sum(c * c)) AS n FROM dense GROUP BY doc_id
+)
+SELECT d.doc_id,
+       list(round(d.c / nrm.n, 6) ORDER BY d.bucket) AS embedding
+FROM dense d JOIN nrm USING (doc_id)
+GROUP BY d.doc_id""",
 
         "kg_extract_sentences": f"""
 WITH {SENTS_SQL}
