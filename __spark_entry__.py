@@ -1139,6 +1139,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.transform("embedding", lambda x: F.round(x, 6))
             .alias("embedding"))
 
+    def text_winnow(spark, sf):
+        # winnowing fingerprints (MOSS): guaranteed detection of
+        # verbatim overlaps >= w+k-1 chars at ~2/(w+1) of the k-gram
+        # cost; pure per-row HOFs, zero shuffle
+        from ner_extractor_spark.operators.dedup import \
+            winnow_fingerprints
+        return winnow_fingerprints(_docs(spark, sf))
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1166,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": bpe_train,                       # new r04
         "bpe_encode": bpe_encode_q,                   # new r04
         "text_hashed_embed": text_hashed_embed,       # new r04
+        "text_winnow": text_winnow,                   # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -1988,6 +1997,29 @@ SELECT d.doc_id,
        list(round(d.c / nrm.n, 6) ORDER BY d.bucket) AS embedding
 FROM dense d JOIN nrm USING (doc_id)
 GROUP BY d.doc_id""",
+
+        "text_winnow": f"""
+WITH nt AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, greatest(len(t) - 4, 1) AS n_grams,
+         list_transform(generate_series(1, greatest(len(t) - 4, 1)),
+           i -> CAST({_hexn_fold_sql("md5(substring(t, CAST(i AS INT), 5))", 8)}
+                AS BIGINT)) AS hs
+  FROM nt
+),
+w AS (
+  SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+         list_sort(list_distinct(
+           list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+             j -> list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)])))) AS fps
+  FROM h
+)
+SELECT doc_id, n_grams,
+       CAST(len(fps) AS INT) AS n_fingerprints, fps AS fingerprints
+FROM w""",
 
         "kg_extract_sentences": f"""
 WITH {SENTS_SQL}

@@ -61,6 +61,46 @@ def dedup_first_seen(pages: DataFrame, id_col: str = "url",
                 F.col("m._ts").alias("first_ts"), "n_copies"))
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): char-``k``-gram rolling hashes, min per sliding window
+    of ``w`` hashes, distinct minima = the fingerprint set.
+
+    Guarantee: any substring match of length >= w + k - 1 chars between
+    two documents shares at least one fingerprint — so cross-doc
+    fingerprint joins detect long verbatim overlaps at a bounded
+    fraction (~2/(w+1)) of the full k-gram set's cost.
+
+    Shape: ENTIRELY per-row HOF expressions (no Python, no shuffle);
+    the md5 fold keeps hashes engine-portable so the DuckDB oracle
+    rebuilds the identical minima.  Returns (doc_id, n_grams,
+    n_fingerprints, fingerprints sorted array<bigint>); downstream
+    cross-doc matching is a groupBy on the exploded fingerprint —
+    the same shingle-df shape as dup_ngram_fraction."""
+    t = normalize_text(F.col(text_col))
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(F.md5(F.substring(t, i, F.lit(k))),
+                                     1, 8), 16, 10).cast("long"))
+    # MATERIALIZE the hash array in its own projection: referencing the
+    # transform expression inside the window transform re-evaluates the
+    # whole rolling-hash pass once per window (the nested-HOF re-eval
+    # trap) — O(m·w) md5 calls instead of O(m)
+    staged = docs.select(F.col(id_col).alias("doc_id"),
+                         n_grams.cast("int").alias("n_grams"),
+                         hashes.alias("_h"))
+    n_wins = F.greatest(F.size("_h") - (w - 1), F.lit(1))
+    wins = F.transform(F.sequence(F.lit(1), n_wins),
+                       lambda j: F.array_min(F.slice("_h", j, w)))
+    fps = F.array_sort(F.array_distinct(wins))
+    return staged.select("doc_id", "n_grams",
+                         F.size(fps).alias("n_fingerprints"),
+                         fps.alias("fingerprints"))
+
+
 def word_shingles(col, n: int = 3):
     """Distinct word n-gram shingles of a text column (built-ins only)."""
     toks = F.split(normalize_text(col), " ")

@@ -229,3 +229,33 @@ def test_dedup_first_seen_crawl_semantics(spark):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     assert spark.read.parquet(out).count() == 2
+
+
+def test_winnow_fingerprints_replica_and_guarantee(spark):
+    """Winnowing: matches a pure-Python replica, and two docs sharing a
+    substring of length >= w+k-1 share at least one fingerprint while
+    unrelated docs (different alphabets) share none."""
+    import hashlib
+
+    from ner_extractor_spark.operators.dedup import winnow_fingerprints
+
+    def replica(text, k=5, w=4):
+        t = " ".join(text.lower().split())
+        m = max(len(t) - k + 1, 1)
+        hs = [int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:8], 16)
+              for i in range(m)]
+        nw = max(len(hs) - w + 1, 1)
+        return sorted({min(hs[j:j + w]) for j in range(nw)})
+
+    shared = "the identical long passage appears verbatim here"
+    rows = [(1, "prefix one " + shared + " suffix a"),
+            (2, "other start " + shared + " tail b"),
+            (3, "zq " * 10),
+            (4, "xy")]                       # shorter than k
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id]["fingerprints"] == replica(text), doc_id
+    assert set(got[1]["fingerprints"]) & set(got[2]["fingerprints"])
+    assert not set(got[1]["fingerprints"]) & set(got[3]["fingerprints"])
+    assert got[4]["n_grams"] == 1 and got[4]["n_fingerprints"] == 1
