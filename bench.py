@@ -64,6 +64,8 @@ HEADLINE = [
     "window_running_value",
     "sessionize",
     "stream_window_counts",
+    "text_winnow",         # r04: HOF rolling-hash fingerprints (no shuffle)
+    "text_quality_classifier",  # r04: hashed features x broadcast weights
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
