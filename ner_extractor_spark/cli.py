@@ -62,7 +62,41 @@ def main(argv=None):
                     help="extract text from the html column via the real "
                          "markup-aware extractor (raw-crawl inputs)")
     kg.add_argument("--run-id", default=None)
+
+    cu = sub.add_parser("curate",
+                        help="run the corpus-curation keep/drop verdict")
+    cu.add_argument("--docs", required=True,
+                    help="documents parquet (doc_id, text, ...)")
+    cu.add_argument("--out", required=True,
+                    help="output dir for the verdict parquet")
+    cu.add_argument("--calibrate", action="store_true",
+                    help="derive thresholds from this corpus' quantiles "
+                         "(default: documented scalar defaults)")
+    cu.add_argument("--dup-threshold", type=float, default=0.9)
+    cu.add_argument("--lm-threshold", type=float, default=-8.0)
     args = p.parse_args(argv)
+
+    if args.cmd == "curate":
+        from ner_extractor_spark.operators.curation import (
+            calibrate_thresholds, curate_corpus)
+        from ner_extractor_spark.session import get_spark
+        spark = get_spark(app_name="curate")
+        docs = spark.read.parquet(args.docs)
+        if args.calibrate:
+            verdict = curate_corpus(
+                docs, thresholds=calibrate_thresholds(docs))
+        else:
+            verdict = curate_corpus(docs,
+                                    dup_threshold=args.dup_threshold,
+                                    lm_threshold=args.lm_threshold)
+        verdict.write.mode("overwrite").parquet(args.out)
+        kept = spark.read.parquet(args.out)
+        n = kept.count()
+        n_keep = kept.filter("keep").count()
+        print(json.dumps({"docs": n, "kept": n_keep,
+                          "dropped": n - n_keep, "out": args.out}))
+        spark.stop()
+        return
 
     # absolute imports so this file also works as a spark-submit primary
     # script (spark-submit runs it top-level, outside the package)
