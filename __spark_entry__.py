@@ -1147,6 +1147,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             winnow_fingerprints
         return winnow_fingerprints(_docs(spark, sf))
 
+    def web_corpus_verdict(spark, sf):
+        # the FULL web-pipeline verdict: url gates (domain blocklist +
+        # term) -> calibrated curation chain (quality / exact-dup /
+        # dup-ngrams / LM) -> classifier probability gate, one
+        # first-violation reason per document — every constituent is
+        # its own oracle-checked query; this pins the composition
+        from ner_extractor_spark.operators.classifier import (
+            classify_docs, synthetic_weights)
+        from ner_extractor_spark.operators.curation import (
+            calibrate_thresholds, curate_corpus)
+        from ner_extractor_spark.operators.webfilter import (host_suffixes,
+                                                             url_host)
+        d = _docs(spark, sf)
+        url = F.concat(
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("https://ads.tracker.test/doc/"))
+            .when(F.col("doc_id") % 7 == 1,
+                  F.lit("https://sub.spam.example/doc/"))
+            .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                                F.lit(".test/doc/"))),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("/casino"))
+            .otherwise(F.lit("")))
+        dom = F.arrays_overlap(
+            host_suffixes(url_host(url)),
+            F.array(F.lit("tracker.test"), F.lit("spam.example")))
+        gates = d.select("doc_id", dom.alias("_domb"),
+                         F.contains(F.lower(url), F.lit("casino"))
+                         .alias("_termb"))
+        cur = curate_corpus(d, thresholds=calibrate_thresholds(d)) \
+            .select("doc_id", F.col("reason").alias("_cr"))
+        cls = classify_docs(d, synthetic_weights(spark)) \
+            .select("doc_id", "prob")
+        j = gates.join(cur, "doc_id").join(cls, "doc_id")
+        reason = (F.when(F.col("_domb"), F.lit("blocked_domain"))
+                  .when(F.col("_termb"), F.lit("blocked_term"))
+                  .when(F.col("_cr") != "ok", F.col("_cr"))
+                  .when(F.col("prob") < 0.5, F.lit("classifier_low"))
+                  .otherwise(F.lit("ok")))
+        return j.select("doc_id", (reason == "ok").alias("keep"),
+                        reason.alias("reason"))
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1175,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": bpe_encode_q,                   # new r04
         "text_hashed_embed": text_hashed_embed,       # new r04
         "text_winnow": text_winnow,                   # new r04
+        "web_corpus_verdict": web_corpus_verdict,     # new r04
         "text_boilerplate": text_boilerplate,         # new r03
         "graph_communities": graph_communities,       # new r03
         "skew_profile_surfaces": skew_profile_surfaces,  # new r03
@@ -1863,7 +1906,7 @@ e0 AS (
 
     from ner_extractor_spark.operators.html import MESSY_EXPECTED_SQL
 
-    return {
+    d = {
         # expected output of the REAL html extractor on the messy-
         # wrapped pages, computed from the clean source text (the
         # oracle never parses markup — a correct parse must invert the
@@ -3366,6 +3409,74 @@ SELECT doc_id FROM documents WHERE lang = 'de'
 EXCEPT ALL
 SELECT doc_id FROM documents WHERE doc_id < 50""",
     }
+
+    # web_corpus_verdict: stitch the PROVEN pieces — the calibrated
+    # curation CTE chain, the classifier probability, and the url-gate
+    # logic — into one first-violation verdict (rule order: url gates,
+    # quality, exact dup, dup-ngrams, LM, classifier)
+    cur = d["corpus_curation"]
+    tail = "SELECT doc_id, reason = 'ok' AS keep, reason FROM fin"
+    assert cur.endswith(tail)
+    d["web_corpus_verdict"] = cur[: -len(tail)] + f""",
+uf AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN 'https://ads.tracker.test/doc/'
+               WHEN doc_id % 7 = 1 THEN 'https://sub.spam.example/doc/'
+               ELSE 'https://' || source || '.test/doc/' END)
+         || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 11 = 0 THEN '/casino' ELSE '' END) AS url
+  FROM documents
+),
+ug AS (
+  SELECT doc_id,
+         list_has_any(
+           list_transform(generate_series(1, len(p)),
+                          i -> array_to_string(p[CAST(i AS INT):len(p)],
+                                               '.')),
+           ['tracker.test', 'spam.example']) AS domb,
+         contains(lower(url), 'casino') AS termb
+  FROM (SELECT doc_id, url,
+               string_split(lower(regexp_replace(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/:?#@]+)',
+                 1), ':[0-9]+$', '')), '.') AS p
+        FROM uf)
+),
+ctoks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                                              '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents)
+  WHERE t != ''
+),
+cfeat AS (
+  SELECT doc_id,
+         CAST({_hexn_fold_sql("md5(term)", 8)} % 1024 AS INT) AS bucket
+  FROM ctoks
+),
+cwt AS (
+  SELECT CAST(i AS INT) AS bucket,
+         ({_hexn_fold_sql("md5('qw|' || CAST(i AS VARCHAR))", 8)} % 2048
+          - 1024) / 1024.0 AS w
+  FROM (SELECT unnest(generate_series(0, 1023)) AS i)
+),
+cprob AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-round(avg(COALESCE(w, 0)), 6))), 6)
+           AS prob
+  FROM cfeat LEFT JOIN cwt USING (bucket) GROUP BY doc_id
+),
+fin2 AS (
+  SELECT f.doc_id,
+         CASE WHEN u.domb THEN 'blocked_domain'
+              WHEN u.termb THEN 'blocked_term'
+              WHEN f.reason != 'ok' THEN f.reason
+              WHEN c.prob < 0.5 THEN 'classifier_low'
+              ELSE 'ok' END AS reason
+  FROM fin f JOIN ug u USING (doc_id) JOIN cprob c USING (doc_id)
+)
+SELECT doc_id, reason = 'ok' AS keep, reason FROM fin2"""
+    return d
 
 
 # ---------------------------------------------------------------------------
