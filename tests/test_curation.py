@@ -120,3 +120,43 @@ def test_curate_with_calibrated_thresholds_matches_scalars(spark):
         d, dup_threshold=row["dup_threshold"],
         lm_threshold=row["lm_threshold"]).collect()))
     assert via_df == via_scalar
+
+
+def test_web_corpus_verdict_rule_order(spark):
+    """Composition pin for the full web-pipeline verdict: url gates
+    outrank content rules, which outrank the classifier gate."""
+    from ner_extractor_spark.operators.classifier import synthetic_weights
+    from ner_extractor_spark.operators.webfilter import (host_suffixes,
+                                                         url_host)
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "https://ads.tracker.test/x",
+         "the quick brown fox jumps over a lazy dog today"),
+        (2, "https://ok.test/casino", "too short"),     # url gate wins
+        (3, "https://ok.test/a", "too short"),          # quality rule
+        (4, "https://ok.test/b",
+         "a storm hit the coast and traders met in the city"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, url string, text string")
+    dom = F.arrays_overlap(host_suffixes(url_host(F.col("url"))),
+                           F.array(F.lit("tracker.test")))
+    term = F.contains(F.lower(F.col("url")), F.lit("casino"))
+    cur = curate_corpus(d).select(
+        "doc_id", F.col("reason").alias("_cr"))
+    from ner_extractor_spark.operators.classifier import classify_docs
+    cls = classify_docs(d, synthetic_weights(spark), bias=10.0) \
+        .select("doc_id", "prob")
+    j = (d.select("doc_id", dom.alias("_d"), term.alias("_t"))
+         .join(cur, "doc_id").join(cls, "doc_id"))
+    reason = (F.when(F.col("_d"), F.lit("blocked_domain"))
+              .when(F.col("_t"), F.lit("blocked_term"))
+              .when(F.col("_cr") != "ok", F.col("_cr"))
+              .when(F.col("prob") < 0.5, F.lit("classifier_low"))
+              .otherwise(F.lit("ok")))
+    got = {r["doc_id"]: r["r"]
+           for r in j.select("doc_id", reason.alias("r")).collect()}
+    assert got[1] == "blocked_domain"
+    assert got[2] == "blocked_term"        # url gate outranks quality
+    assert got[3] == "too_short"
+    assert got[4] == "ok"                  # bias=10 keeps the classifier open
