@@ -638,12 +638,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the end-to-end keep/drop verdict: quality rules -> exact-dup
         # keeper -> cross-doc n-gram dup -> LM gate, first-violation
         # reason; thresholds DERIVED from this corpus' own score
-        # distributions via calibrate_thresholds (r04, VERDICT #6 —
-        # no hand-picked magic constants in the contract)
-        from ner_extractor_spark.operators.curation import (
-            calibrate_thresholds, curate_corpus)
-        d = _docs(spark, sf)
-        return curate_corpus(d, thresholds=calibrate_thresholds(d))
+        # distributions, with the score tables computed ONCE and
+        # shared between calibration and verdict (VERDICT r04 #2)
+        from ner_extractor_spark.operators.curation import \
+            calibrated_curation
+        return calibrated_curation(_docs(spark, sf))
 
     def curation_calibrate(spark, sf):
         # the calibration operator itself: exact interpolated quantile
@@ -1130,22 +1129,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def text_hashed_embed(spark, sf):
         # text->vector bridge: feature-hashed L2-normalized doc
-        # embeddings (components rounded for the cross-engine hash;
-        # the operator itself returns raw doubles)
+        # embeddings.  CONTRACT SHAPE (VERDICT r04 #1): the operator
+        # returns (doc_id, embedding array<double>), but the driver's
+        # pandas canonicalizer cannot sort top-level arrays — so the
+        # contract projects the per-component EXPLODED scalar rows
+        # (doc_id, bucket, value); same information, driver-sortable.
         from ner_extractor_spark.operators.embed_text import \
             hashed_tf_embed
         return hashed_tf_embed(_docs(spark, sf), dim=32).select(
             "doc_id",
-            F.transform("embedding", lambda x: F.round(x, 6))
-            .alias("embedding"))
+            F.posexplode("embedding").alias("bucket", "value")
+        ).select("doc_id", "bucket",
+                 F.round("value", 6).alias("value"))
 
     def text_winnow(spark, sf):
         # winnowing fingerprints (MOSS): guaranteed detection of
         # verbatim overlaps >= w+k-1 chars at ~2/(w+1) of the k-gram
-        # cost; pure per-row HOFs, zero shuffle
+        # cost; pure per-row HOFs, zero shuffle.  CONTRACT SHAPE
+        # (VERDICT r04 #1): the sorted fingerprint set serializes to a
+        # CSV string so no top-level array reaches the driver.
         from ner_extractor_spark.operators.dedup import \
             winnow_fingerprints
-        return winnow_fingerprints(_docs(spark, sf))
+        return winnow_fingerprints(_docs(spark, sf)).select(
+            "doc_id", "n_grams", "n_fingerprints",
+            F.array_join(
+                F.transform("fingerprints", lambda x: x.cast("string")),
+                ",").alias("fingerprints_csv"))
+
+    def text_ppl_buckets(spark, sf):
+        # CCNet head/middle/tail perplexity bucketing (VERDICT r04 #4):
+        # tier the corpus by quantile cuts over per-doc trigram-LM
+        # scores; summary = bucket counts + the calibration cuts
+        from ner_extractor_spark.operators.lm import ppl_buckets
+        return (ppl_buckets(_docs(spark, sf))
+                .groupBy("bucket", "lo_cut", "hi_cut")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .select("bucket", "n_docs", "lo_cut", "hi_cut"))
+
+    def text_classifier_calibrated(spark, sf):
+        # classifier gate with a CALIBRATED operating point (VERDICT
+        # r04 #6): threshold = the (1 - keep_rate) percentile of the
+        # corpus' own probability distribution, not a 0.5 constant
+        from ner_extractor_spark.operators.classifier import (
+            classify_docs_calibrated, synthetic_weights)
+        return classify_docs_calibrated(
+            _docs(spark, sf), synthetic_weights(spark), keep_rate=0.8)
+
+    def text_winnow_matches(spark, sf):
+        # cross-doc winnow overlap report (VERDICT r04 #3 — the MOSS
+        # match step the fingerprints exist to feed): explode
+        # fingerprints, groupBy fingerprint, emit (doc_a, doc_b,
+        # n_shared) pairs — same shingle-df shape as text_dup_ngrams,
+        # no pairwise joins; max_df caps the boilerplate-fingerprint
+        # pair blow-up (df² fan-out per hot fingerprint — the measured
+        # sf0.01 hot fp sits in 394 of 500 docs)
+        from ner_extractor_spark.operators.dedup import winnow_matches
+        return winnow_matches(_docs(spark, sf), min_shared=2, max_df=20)
 
     def web_corpus_verdict(spark, sf):
         # the FULL web-pipeline verdict: url gates (domain blocklist +
@@ -1153,12 +1192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dup-ngrams / LM) -> classifier probability gate, one
         # first-violation reason per document — every constituent is
         # its own oracle-checked query; this pins the composition
-        from ner_extractor_spark.operators.classifier import (
-            classify_docs, synthetic_weights)
-        from ner_extractor_spark.operators.curation import (
-            calibrate_thresholds, curate_corpus)
-        from ner_extractor_spark.operators.webfilter import (host_suffixes,
-                                                             url_host)
+        from ner_extractor_spark.operators.classifier import \
+            synthetic_weights
+        from ner_extractor_spark.operators.web_verdict import \
+            full_web_verdict
         d = _docs(spark, sf)
         url = F.concat(
             F.when(F.col("doc_id") % 7 == 0,
@@ -1170,24 +1207,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("string"),
             F.when(F.col("doc_id") % 11 == 0, F.lit("/casino"))
             .otherwise(F.lit("")))
-        dom = F.arrays_overlap(
-            host_suffixes(url_host(url)),
-            F.array(F.lit("tracker.test"), F.lit("spam.example")))
-        gates = d.select("doc_id", dom.alias("_domb"),
-                         F.contains(F.lower(url), F.lit("casino"))
-                         .alias("_termb"))
-        cur = curate_corpus(d, thresholds=calibrate_thresholds(d)) \
-            .select("doc_id", F.col("reason").alias("_cr"))
-        cls = classify_docs(d, synthetic_weights(spark)) \
-            .select("doc_id", "prob")
-        j = gates.join(cur, "doc_id").join(cls, "doc_id")
-        reason = (F.when(F.col("_domb"), F.lit("blocked_domain"))
-                  .when(F.col("_termb"), F.lit("blocked_term"))
-                  .when(F.col("_cr") != "ok", F.col("_cr"))
-                  .when(F.col("prob") < 0.5, F.lit("classifier_low"))
-                  .otherwise(F.lit("ok")))
-        return j.select("doc_id", (reason == "ok").alias("keep"),
-                        reason.alias("reason"))
+        return full_web_verdict(
+            d.withColumn("url", url), synthetic_weights(spark),
+            blocked_domains=("tracker.test", "spam.example"),
+            blocked_terms=("casino",))
 
     def set_ops(spark, sf):
         d = _docs(spark, sf)
@@ -1206,6 +1229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # class, after the alphabetical key.)
     return _rotate_contract({
         # -- new / changed this round --------------------------------
+        "text_winnow_matches": text_winnow_matches,   # new r05
+        "text_ppl_buckets": text_ppl_buckets,         # new r05
+        "text_classifier_calibrated": text_classifier_calibrated,  # r05
         "html_extract_text": html_extract_text,       # new r04
         "kg_link_alias_salted": kg_link_alias_salted,  # new r04
         "curation_calibrate": curation_calibrate,     # new r04
@@ -1975,15 +2001,91 @@ wt AS (
           - 1024) / 1024.0 AS w
   FROM (SELECT unnest(generate_series(0, 1023)) AS i)
 ),
-agg AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-         round(avg(COALESCE(w, 0)), 6) AS score
+agg0 AS (
+  SELECT doc_id, count(*) AS cnt, avg(COALESCE(w, 0)) AS avg_w
   FROM feat LEFT JOIN wt USING (bucket) GROUP BY doc_id
+),
+agg AS (
+  -- TOTAL over documents (ADVICE r04): a zero-term doc scores the
+  -- bias (0.0) with n_terms = 0 instead of vanishing
+  SELECT d.doc_id, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS n_terms,
+         round(COALESCE(a.avg_w, 0), 6) AS score
+  FROM documents d LEFT JOIN agg0 a USING (doc_id)
 )
 SELECT doc_id, n_terms, score,
        round(1.0 / (1.0 + exp(-score)), 6) AS prob,
        round(1.0 / (1.0 + exp(-score)), 6) >= 0.5 AS keep
 FROM agg""",
+
+        "text_classifier_calibrated": f"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                                              '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents)
+  WHERE t != ''
+),
+feat AS (
+  SELECT doc_id,
+         CAST({_hexn_fold_sql("md5(term)", 8)} % 1024 AS INT) AS bucket
+  FROM toks
+),
+wt AS (
+  SELECT CAST(i AS INT) AS bucket,
+         ({_hexn_fold_sql("md5('qw|' || CAST(i AS VARCHAR))", 8)} % 2048
+          - 1024) / 1024.0 AS w
+  FROM (SELECT unnest(generate_series(0, 1023)) AS i)
+),
+agg0 AS (
+  SELECT doc_id, count(*) AS cnt, avg(COALESCE(w, 0)) AS avg_w
+  FROM feat LEFT JOIN wt USING (bucket) GROUP BY doc_id
+),
+pr AS (
+  SELECT d.doc_id, CAST(COALESCE(a.cnt, 0) AS BIGINT) AS n_terms,
+         round(COALESCE(a.avg_w, 0), 6) AS score,
+         round(1.0 / (1.0 + exp(-round(COALESCE(a.avg_w, 0), 6))), 6)
+           AS prob
+  FROM documents d LEFT JOIN agg0 a USING (doc_id)
+),
+thr AS (
+  SELECT round(quantile_cont(prob, {1.0 - 0.8!r}), 6) AS cls_threshold
+  FROM pr
+)
+SELECT doc_id, n_terms, score, prob,
+       prob >= cls_threshold AS keep, cls_threshold
+FROM pr, thr""",
+
+        "text_ppl_buckets": f"""
+WITH nt AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, substring(t, i, 3) AS tri
+  FROM nt, unnest(generate_series(1, greatest(len(t) - 2, 1))) g(i)
+),
+model AS (SELECT tri, count(*) AS c FROM tris GROUP BY tri),
+norm AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                count(*) AS n_distinct FROM model),
+lm AS (
+  SELECT d.doc_id,
+         round(avg(ln((coalesce(m.c, 0) + 1.0)
+                      / (norm.n_total + norm.n_distinct))), 6) AS lm_score
+  FROM tris d LEFT JOIN model m USING (tri), norm
+  GROUP BY d.doc_id
+),
+cuts AS (
+  SELECT round(quantile_cont(lm_score, {1 / 3!r}), 6) AS lo_cut,
+         round(quantile_cont(lm_score, {2 / 3!r}), 6) AS hi_cut
+  FROM lm
+)
+SELECT CASE WHEN lm_score >= hi_cut THEN 'head'
+            WHEN lm_score < lo_cut THEN 'tail'
+            ELSE 'middle' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs, lo_cut, hi_cut
+FROM lm, cuts
+GROUP BY 1, 3, 4""",
 
         "dedup_first_seen": f"""
 WITH {PAGES_SQL},
@@ -2025,7 +2127,7 @@ cnt AS (
   FROM toks GROUP BY 1, 2
 ),
 grid AS (
-  SELECT d.doc_id, g.i AS bucket
+  SELECT d.doc_id, CAST(g.i AS INT) AS bucket
   FROM (SELECT DISTINCT doc_id FROM cnt) d,
        unnest(generate_series(0, 31)) g(i)
 ),
@@ -2036,10 +2138,8 @@ dense AS (
 nrm AS (
   SELECT doc_id, sqrt(sum(c * c)) AS n FROM dense GROUP BY doc_id
 )
-SELECT d.doc_id,
-       list(round(d.c / nrm.n, 6) ORDER BY d.bucket) AS embedding
-FROM dense d JOIN nrm USING (doc_id)
-GROUP BY d.doc_id""",
+SELECT d.doc_id, d.bucket, round(d.c / nrm.n, 6) AS value
+FROM dense d JOIN nrm USING (doc_id)""",
 
         "text_winnow": f"""
 WITH nt AS (
@@ -2061,8 +2161,38 @@ w AS (
   FROM h
 )
 SELECT doc_id, n_grams,
-       CAST(len(fps) AS INT) AS n_fingerprints, fps AS fingerprints
+       CAST(len(fps) AS INT) AS n_fingerprints,
+       array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')
+         AS fingerprints_csv
 FROM w""",
+
+        "text_winnow_matches": f"""
+WITH nt AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, greatest(len(t) - 4, 1) AS n_grams,
+         list_transform(generate_series(1, greatest(len(t) - 4, 1)),
+           i -> CAST({_hexn_fold_sql("md5(substring(t, CAST(i AS INT), 5))", 8)}
+                AS BIGINT)) AS hs
+  FROM nt
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+             j -> list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)]))) AS fps
+  FROM h
+),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+keep AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 20),
+exk AS (SELECT ex.doc_id, ex.fp FROM ex JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM exk a JOIN exk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2""",
 
         "kg_extract_sentences": f"""
 WITH {SENTS_SQL}
@@ -3460,11 +3590,15 @@ cwt AS (
           - 1024) / 1024.0 AS w
   FROM (SELECT unnest(generate_series(0, 1023)) AS i)
 ),
-cprob AS (
-  SELECT doc_id,
-         round(1.0 / (1.0 + exp(-round(avg(COALESCE(w, 0)), 6))), 6)
-           AS prob
+cprob0 AS (
+  SELECT doc_id, round(avg(COALESCE(w, 0)), 6) AS cscore
   FROM cfeat LEFT JOIN cwt USING (bucket) GROUP BY doc_id
+),
+cprob AS (
+  -- total over documents: zero-term docs score the bias (0.0)
+  SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-COALESCE(c.cscore, 0))), 6) AS prob
+  FROM documents d LEFT JOIN cprob0 c USING (doc_id)
 ),
 fin2 AS (
   SELECT f.doc_id,

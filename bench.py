@@ -66,6 +66,9 @@ HEADLINE = [
     "stream_window_counts",
     "text_winnow",         # r04: HOF rolling-hash fingerprints (no shuffle)
     "text_quality_classifier",  # r04: hashed features x broadcast weights
+    "text_winnow_matches",  # r05: MOSS cross-doc overlap (df-capped)
+    "text_ppl_buckets",    # r05: CCNet head/middle/tail LM bucketing
+    "web_corpus_verdict",  # r05: full composed verdict, single score pass
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
@@ -234,6 +237,12 @@ def main():
     sf = float(m.group(1)) if m else -1.0
 
     replicate = 96
+    # --long: the amortized-length scaling job (VERDICT r04 #8) — 16x
+    # the default corpus so the ~2-3 s fixed job overhead (session,
+    # staging, first-stage scheduling) stops dominating the ratio; the
+    # r04 probe measured 0.982 efficiency at this length vs ~0.85 short
+    if "--long" in sys.argv:
+        replicate = 1536
     if "--replicate" in sys.argv:
         replicate = int(sys.argv[sys.argv.index("--replicate") + 1])
     if "--pair" in sys.argv:

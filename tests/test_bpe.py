@@ -96,3 +96,22 @@ def test_bpe_encode_matches_driver_encoder(spark):
     # every token position of every doc is present
     n_tokens = sum(len(t.split()) for t in TEXTS)
     assert len(got) == n_tokens
+
+
+def test_bpe_encode_vocab_join_modes(spark):
+    """VERDICT r04 #3: the default broadcast vocab join keeps the
+    corpus side shuffle-free (BroadcastHashJoin, no hash-partitioning
+    exchange in the final plan — the vocab fold work hides behind the
+    per-rule localCheckpoint barrier), and the shuffle mode returns
+    identical rows."""
+    from ner_extractor_spark.operators.bpe import bpe_encode
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string")
+    rules = [(r[1], r[2]) for r in _python_bpe(TEXTS, 4)]
+    bc = bpe_encode(docs, rules)                       # default broadcast
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    sh = bpe_encode(docs, rules, vocab_join="shuffle")
+    assert sorted(map(tuple, bc.collect())) == \
+        sorted(map(tuple, sh.collect()))

@@ -122,6 +122,64 @@ def test_curate_with_calibrated_thresholds_matches_scalars(spark):
     assert via_df == via_scalar
 
 
+def test_full_web_verdict_total_and_rule_order(spark):
+    """operators/web_verdict.full_web_verdict: one row per input doc
+    (including a whitespace-only doc — ADVICE r04's lost-row bug),
+    url gates outrank content rules, frozen-threshold mode works."""
+    from ner_extractor_spark.operators.classifier import synthetic_weights
+    from ner_extractor_spark.operators.web_verdict import full_web_verdict
+
+    rows = [
+        (1, "https://ads.tracker.test/x",
+         "the quick brown fox jumps over a lazy dog today"),
+        (2, "https://ok.test/casino", "too short"),
+        (3, "https://ok.test/a", "   "),    # whitespace-only: must keep a row
+        (4, "https://ok.test/b",
+         "a storm hit the coast and traders met in the city"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, url string, text string")
+    got = {r["doc_id"]: r["reason"] for r in full_web_verdict(
+        d, synthetic_weights(spark),
+        blocked_domains=("tracker.test",), blocked_terms=("casino",),
+        dup_threshold=2.0, lm_threshold=-100.0).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == "blocked_domain"
+    assert got[2] == "blocked_term"
+    assert got[3] == "too_short"           # not silently dropped
+
+
+def test_calibrated_curation_matches_unshared_composition(spark):
+    """VERDICT r04 #2: calibrated_curation (one shared, checkpointed
+    score pass) returns exactly the rows of the naive
+    curate(thresholds=calibrate(docs)) composition."""
+    from ner_extractor_spark.operators.curation import (
+        calibrate_thresholds, calibrated_curation)
+    d = _df(spark)
+    shared = sorted(map(tuple, calibrated_curation(d).collect()))
+    naive = sorted(map(tuple, curate_corpus(
+        d, thresholds=calibrate_thresholds(d)).collect()))
+    assert shared == naive
+
+
+def test_calibrated_curation_is_single_pass(spark):
+    """The composed plan must not rebuild the trigram-model and
+    shingle-df pipelines for calibration and verdict separately: with
+    the shared checkpointed scores, the final plan contains strictly
+    fewer aggregates (the corpus-scale score subtrees appear as
+    materialized RDD scans, not as duplicated explode->agg chains)."""
+    from ner_extractor_spark.operators.curation import (
+        calibrate_thresholds, calibrated_curation)
+    d = _df(spark)
+    new_plan = calibrated_curation(d)._jdf.queryExecution() \
+        .executedPlan().toString()
+    old_plan = curate_corpus(d, thresholds=calibrate_thresholds(d)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert new_plan.count("Aggregate") < old_plan.count("Aggregate"), \
+        (new_plan.count("Aggregate"), old_plan.count("Aggregate"))
+    # the two checkpointed score tables surface as RDD scans
+    assert new_plan.count("Scan ExistingRDD") >= 2, new_plan
+
+
 def test_web_corpus_verdict_rule_order(spark):
     """Composition pin for the full web-pipeline verdict: url gates
     outrank content rules, which outrank the classifier gate."""

@@ -91,3 +91,68 @@ def test_curation_stream_threshold_mode_validation(spark, tmp_path):
         run_curation_stream(_read_stream(spark, src, docs.schema),
                             str(tmp_path / "out"), str(tmp_path / "ck"),
                             dup_threshold=0.9)
+
+
+def _web_docs(spark, n=30):
+    rows = []
+    for i in range(n):
+        if i % 6 == 0:
+            url = f"https://ads.tracker.test/p/{i}"
+        elif i % 6 == 1:
+            url = f"https://ok.test/casino/{i}"
+        else:
+            url = f"https://ok.test/p/{i}"
+        if i % 5 == 0:
+            text = "zzz qqq xxx"
+        else:
+            text = (f"report {i}: the committee met in the city and "
+                    f"agreed a plan for week {i % 9}")
+        rows.append((i, url, text))
+    return spark.createDataFrame(rows, "doc_id int, url string, text string")
+
+
+def test_web_verdict_stream_matches_batch_composition(spark, tmp_path):
+    """VERDICT r04 #7: the FULL web verdict (url gates + curation +
+    classifier) streamed per micro-batch equals full_web_verdict over
+    exactly that batch's documents, and a replayed epoch is
+    idempotent."""
+    from ner_extractor_spark.operators.classifier import synthetic_weights
+    from ner_extractor_spark.operators.web_verdict import full_web_verdict
+    from ner_extractor_spark.streaming.curation_stream import \
+        run_web_verdict_stream
+
+    docs = _web_docs(spark)
+    w = synthetic_weights(spark)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
+    docs.repartition(2).write.parquet(src)
+
+    kw = dict(blocked_domains=("tracker.test",), blocked_terms=("casino",),
+              dup_threshold=0.9, lm_threshold=-8.0)
+    run_web_verdict_stream(_read_stream(spark, src, docs.schema), w,
+                           out, str(ckpt), **kw)
+
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    assert verdicts.count() == 30
+    for bid in [r["batch_id"] for r in
+                verdicts.select("batch_id").distinct().collect()]:
+        part = verdicts.filter(f"batch_id = {bid}").drop("batch_id")
+        ids = [r["doc_id"] for r in part.select("doc_id").collect()]
+        subset = docs.filter(docs.doc_id.isin(ids))
+        want = full_web_verdict(subset, w, **kw)
+        assert sorted(map(tuple, part.collect())) == \
+            sorted(map(tuple, want.collect()))
+
+    # crash-window replay: drop the last commit, rerun, identical rows
+    expected = sorted(map(tuple, verdicts.collect()))
+    commits = sorted((p for p in (ckpt / "commits").iterdir()
+                      if p.name.isdigit()), key=lambda p: int(p.name))
+    commits[-1].unlink()
+    crc = ckpt / "commits" / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run_web_verdict_stream(_read_stream(spark, src, docs.schema), w,
+                           out, str(ckpt), **kw)
+    assert sorted(map(tuple,
+                      spark.read.parquet(f"{out}/verdicts").collect())) \
+        == expected

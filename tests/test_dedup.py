@@ -259,3 +259,56 @@ def test_winnow_fingerprints_replica_and_guarantee(spark):
     assert set(got[1]["fingerprints"]) & set(got[2]["fingerprints"])
     assert not set(got[1]["fingerprints"]) & set(got[3]["fingerprints"])
     assert got[4]["n_grams"] == 1 and got[4]["n_fingerprints"] == 1
+
+
+def test_winnow_matches_finds_window_length_overlap(spark):
+    """VERDICT r04 #3 adversarial pin: a verbatim overlap of EXACTLY
+    w + k - 1 = 8 chars is guaranteed to surface as a match pair
+    (the winnowing guarantee); a k - 1 = 4-char overlap between
+    otherwise-disjoint alphabets shares no k-gram at all, so no pair."""
+    from ner_extractor_spark.operators.dedup import winnow_matches
+
+    # docs 1/2: alphabets disjoint except the 8-char 'qqqqqqqq' run
+    rows = [(1, "ababab" + "qqqqqqqq" + "cdcdcd"),
+            (2, "efefef" + "qqqqqqqq" + "ghghgh"),
+            # docs 3/4: only 'zzzz' (k-1 chars) in common -> no shared
+            # 5-gram, hence no shared fingerprint
+            (3, "ijijij" + "zzzz" + "klklkl"),
+            (4, "mnmnmn" + "zzzz" + "opopop")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in winnow_matches(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (3, 4) not in pairs
+
+
+def test_winnow_matches_max_df_drops_boilerplate(spark):
+    """The MOSS ubiquitous-content cap: a fingerprint present in more
+    than max_df documents is excluded BEFORE pairing, so corpus-wide
+    boilerplate does not produce O(n²) pairs."""
+    from ner_extractor_spark.operators.dedup import winnow_matches
+
+    boiler = "all rights reserved standard footer text here"
+    rows = [(i, f"page {i} body {'x' * i} " + boiler) for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = winnow_matches(docs).count()
+    capped = winnow_matches(docs, max_df=2).count()
+    assert uncapped == 10            # all C(5,2) pairs share the footer
+    assert capped < uncapped
+
+
+def test_winnow_matches_counts_shared_fingerprints(spark):
+    """n_shared equals the driver-side intersection size of the two
+    documents' fingerprint sets."""
+    from ner_extractor_spark.operators.dedup import (winnow_fingerprints,
+                                                     winnow_matches)
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox sat while the lazy dog slept")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {r["doc_id"]: set(r["fingerprints"])
+           for r in winnow_fingerprints(docs).collect()}
+    want = len(fps[1] & fps[2])
+    got = winnow_matches(docs).collect()
+    assert len(got) == 1
+    assert got[0]["n_shared"] == want

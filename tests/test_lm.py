@@ -114,3 +114,47 @@ def test_trigram_logprob_shuffle_mode_identical(spark):
     import pytest
     with pytest.raises(ValueError):
         trigram_logprob(docs, model, join_mode="bogus")
+
+
+def test_ppl_buckets_cuts_and_assignment(spark):
+    """CCNet head/middle/tail bucketing: cuts are the exact 1/3 / 2/3
+    interpolated percentiles of the lm scores (numpy replica), every
+    doc keeps exactly one row, and the bucket matches the cut algebra
+    (head = best scores = lowest perplexity)."""
+    import numpy as np
+
+    from ner_extractor_spark.operators.lm import ppl_buckets
+
+    d = _docs(spark)
+    rows = ppl_buckets(d).collect()
+    scores = {r["doc_id"]: r["lm_score"] for r in
+              trigram_logprob(d, trigram_model(d)).collect()}
+    assert len(rows) == len(scores)
+    lo = round(float(np.percentile(list(scores.values()), 100 / 3,
+                                   method="linear")), 6)
+    hi = round(float(np.percentile(list(scores.values()), 200 / 3,
+                                   method="linear")), 6)
+    for r in rows:
+        assert (r["lo_cut"], r["hi_cut"]) == (lo, hi)
+        s = scores[r["doc_id"]]
+        want = "head" if s >= hi else ("tail" if s < lo else "middle")
+        assert r["bucket"] == want, (r, s)
+    # gibberish lands in the tail, the in-distribution doc does not
+    by_id = {r["doc_id"]: r["bucket"] for r in rows}
+    assert by_id[100] == "tail" and by_id[101] != "tail"
+
+
+def test_ppl_buckets_reuses_external_scores(spark):
+    """Passing lm= (e.g. curation_scores' lm half) adds no corpus pass
+    and returns identical rows."""
+    from ner_extractor_spark.operators.lm import ppl_buckets
+
+    d = _docs(spark)
+    lm = trigram_logprob(d, trigram_model(d)).localCheckpoint()
+    a = sorted(map(tuple, ppl_buckets(d).collect()))
+    b = sorted(map(tuple, ppl_buckets(d, lm=lm).collect()))
+    assert a == b
+    plan = ppl_buckets(d, lm=lm)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the reuse path reads only the materialized score table
+    assert "Generate" not in plan, plan
