@@ -243,6 +243,24 @@ STOPWORD_SQL_SCORES = None  # built lazily in oracle_sql()
 # queries(): name -> (spark, sf_dir) -> DataFrame
 # ---------------------------------------------------------------------------
 
+def _web_docs_with_urls(d: DataFrame) -> DataFrame:
+    """documents + a deterministic synthetic url column (blocked-domain
+    / blocked-term cases seeded by doc_id residues) — shared by the
+    web_corpus_verdict and web_domain_keep_rates contract queries and
+    mirrored verbatim by their oracles' ``uf`` CTE."""
+    url = F.concat(
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("https://ads.tracker.test/doc/"))
+        .when(F.col("doc_id") % 7 == 1,
+              F.lit("https://sub.spam.example/doc/"))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                            F.lit(".test/doc/"))),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("/casino"))
+        .otherwise(F.lit("")))
+    return d.withColumn("url", url)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ner_extractor_spark.functions.text import (fingerprint, lang_id,
                                                     token_count)
@@ -1175,6 +1193,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_docs_calibrated(
             _docs(spark, sf), synthetic_weights(spark), keep_rate=0.8)
 
+    def decontam_overlap(spark, sf):
+        # eval-set decontamination (GPT-3 appendix-C / FineWeb): flag
+        # training docs sharing word n-grams with a benchmark table —
+        # the broadcast-benchmark semi-join shape; the synthetic eval
+        # set is a deterministic slice of the corpus itself, so its
+        # exact/near duplicates must surface as contaminated
+        from ner_extractor_spark.operators.decontam import \
+            contamination_pairs
+        d = _docs(spark, sf)
+        ev = d.filter(F.col("doc_id") % 50 == 0) \
+            .select(F.col("doc_id").alias("eval_id"), "text")
+        return contamination_pairs(d, ev, n=3, min_shared=2)
+
     def text_winnow_matches(spark, sf):
         # cross-doc winnow overlap report (VERDICT r04 #3 — the MOSS
         # match step the fingerprints exist to feed): explode
@@ -1196,21 +1227,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             synthetic_weights
         from ner_extractor_spark.operators.web_verdict import \
             full_web_verdict
-        d = _docs(spark, sf)
-        url = F.concat(
-            F.when(F.col("doc_id") % 7 == 0,
-                   F.lit("https://ads.tracker.test/doc/"))
-            .when(F.col("doc_id") % 7 == 1,
-                  F.lit("https://sub.spam.example/doc/"))
-            .otherwise(F.concat(F.lit("https://"), F.col("source"),
-                                F.lit(".test/doc/"))),
-            F.col("doc_id").cast("string"),
-            F.when(F.col("doc_id") % 11 == 0, F.lit("/casino"))
-            .otherwise(F.lit("")))
         return full_web_verdict(
-            d.withColumn("url", url), synthetic_weights(spark),
+            _web_docs_with_urls(_docs(spark, sf)),
+            synthetic_weights(spark),
             blocked_domains=("tracker.test", "spam.example"),
             blocked_terms=("casino",))
+
+    def web_domain_keep_rates(spark, sf):
+        # the per-domain curation report (C4/RefinedWeb operations
+        # practice: domain-level keep rates are how blocklists get
+        # built and crawl budgets get allocated) — full web verdict
+        # rolled up by host; one extra skew-aware aggregation keyed
+        # on the domain
+        from ner_extractor_spark.operators.classifier import \
+            synthetic_weights
+        from ner_extractor_spark.operators.web_verdict import \
+            full_web_verdict
+        from ner_extractor_spark.operators.webfilter import url_host
+        d = _web_docs_with_urls(_docs(spark, sf))
+        verdict = full_web_verdict(
+            d, synthetic_weights(spark),
+            blocked_domains=("tracker.test", "spam.example"),
+            blocked_terms=("casino",))
+        hosts = d.select("doc_id", url_host(F.col("url")).alias("host"))
+        return (verdict.join(hosts, "doc_id")
+                .groupBy("host")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.col("keep").cast("int")).alias("n_kept"))
+                .select("host", "n_docs",
+                        F.col("n_kept").cast("long").alias("n_kept"),
+                        F.round(F.col("n_kept") / F.col("n_docs"), 6)
+                        .alias("keep_rate")))
 
     def set_ops(spark, sf):
         d = _docs(spark, sf)
@@ -1230,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _rotate_contract({
         # -- new / changed this round --------------------------------
         "text_winnow_matches": text_winnow_matches,   # new r05
+        "decontam_overlap": decontam_overlap,         # new r05
+        "web_domain_keep_rates": web_domain_keep_rates,  # new r05
         "text_ppl_buckets": text_ppl_buckets,         # new r05
         "text_classifier_calibrated": text_classifier_calibrated,  # r05
         "html_extract_text": html_extract_text,       # new r04
@@ -1340,14 +1389,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     })
 
 
+#: queries whose CONTRACT SHAPE changed this round: they already have a
+#: recent driver row (so rotation would bury them), but that row tested
+#: the OLD shape — force them into the sampling window until the new
+#: shape earns its own driver row.  r05: the two r04 driver-red
+#: array-schema queries, now projecting driver-sortable scalars
+#: (VERDICT r04 #1 — "done" means a green r05 driver row for both).
+_CHANGED_THIS_ROUND = ["text_hashed_embed", "text_winnow"]
+
+
 def _rotate_contract(d: dict) -> dict:
     """Least-recently-driver-sampled-first ordering (VERDICT r03 #3).
 
     The driver writes CORRECTNESS_r{N}.json with one key per query it
     actually sampled; replaying that history gives each query its last
-    driver round.  Never-sampled (incl. new-this-round) queries sort
-    first, then ascending last-sampled round, alphabetical within a
-    class — deterministic, and self-maintaining as rounds accumulate.
+    driver round.  Shape-changed queries (``_CHANGED_THIS_ROUND``)
+    lead outright, then never-sampled (incl. new-this-round) queries,
+    then ascending last-sampled round, alphabetical within a class —
+    deterministic, and self-maintaining as rounds accumulate.
     """
     import json as _json
     import re as _re
@@ -1366,7 +1425,10 @@ def _rotate_contract(d: dict) -> dict:
             continue
         for n in names:
             last[n] = max(last.get(n, 0), rnd)
-    return {n: d[n] for n in sorted(d, key=lambda n: (last.get(n, -1), n))}
+    forced = [n for n in _CHANGED_THIS_ROUND if n in d]
+    rest = sorted((n for n in d if n not in forced),
+                  key=lambda n: (last.get(n, -1), n))
+    return {n: d[n] for n in forced + rest}
 
 
 # ---------------------------------------------------------------------------
@@ -2016,6 +2078,15 @@ SELECT doc_id, n_terms, score,
        round(1.0 / (1.0 + exp(-score)), 6) AS prob,
        round(1.0 / (1.0 + exp(-score)), 6) >= 0.5 AS keep
 FROM agg""",
+
+        "decontam_overlap": "WITH " + _shingle_sql().lstrip() + """,
+ev AS (
+  SELECT DISTINCT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0
+)
+SELECT s.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh s JOIN ev e USING (shingle)
+GROUP BY 1, 2
+HAVING count(*) >= 2""",
 
         "text_classifier_calibrated": f"""
 WITH toks AS (
@@ -3610,6 +3681,27 @@ fin2 AS (
   FROM fin f JOIN ug u USING (doc_id) JOIN cprob c USING (doc_id)
 )
 SELECT doc_id, reason = 'ok' AS keep, reason FROM fin2"""
+
+    # web_domain_keep_rates: the same composed verdict rolled up by
+    # host — the per-domain curation report
+    wv = d["web_corpus_verdict"]
+    tail2 = "SELECT doc_id, reason = 'ok' AS keep, reason FROM fin2"
+    assert wv.endswith(tail2)
+    d["web_domain_keep_rates"] = wv[: -len(tail2)] + r""",
+hostx AS (
+  SELECT doc_id,
+         lower(regexp_replace(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#@]+)', 1),
+           ':[0-9]+$', '')) AS host
+  FROM uf
+)
+SELECT h.host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f.reason = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(CAST(sum(CASE WHEN f.reason = 'ok' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS keep_rate
+FROM fin2 f JOIN hostx h USING (doc_id)
+GROUP BY h.host"""
     return d
 
 

@@ -201,14 +201,25 @@ def scaling_run(cpus: str, sf_dir: str, replicate: int = 96,
     }
 
 
-def pair_run(hi: int, lo: int, sf_dir: str, replicate: int) -> dict:
+def pair_run(hi: int, lo: int, sf_dir: str, replicate: int,
+             strict: bool = False) -> dict:
     """One idle-gated scaling pair, WIDE LEG FIRST (BENCH.md §2
     protocol from r3-22): each leg is a fresh subprocess pinned with
-    taskset to cores 0..2*cpus-1 (2x headroom for the JVM, matching the
-    published protocol), so legs never inherit a warm JVM."""
+    taskset, so legs never inherit a warm JVM.
+
+    ``strict`` (r05, the primary gate protocol): pin each leg to
+    EXACTLY cpus cores (0..cpus-1).  The legacy default pins to
+    2*cpus (headroom for the JVM) — but on an idle host the narrow
+    leg's task threads + python workers overlap into the headroom
+    (measured: local[2] under a 4-core mask consumes 3.0 busy cores),
+    so its throughput overstates what N cores deliver and the
+    efficiency ratio under-measures.  Strict mode hard-caps each
+    leg's compute at its nominal budget — the true N-vs-4N
+    comparison."""
     legs = {}
     for cpus in (hi, lo):
-        cmd = ["taskset", "-c", f"0-{2 * cpus - 1}", sys.executable,
+        top = cpus - 1 if strict else 2 * cpus - 1
+        cmd = ["taskset", "-c", f"0-{top}", sys.executable,
                __file__, "--scaling", "--cpus", str(cpus),
                "--replicate", str(replicate)]
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
@@ -251,7 +262,8 @@ def main():
         n_pairs = 1
         if "--pairs" in sys.argv:
             n_pairs = int(sys.argv[sys.argv.index("--pairs") + 1])
-        results = [pair_run(hi, lo, sf_dir, replicate)
+        results = [pair_run(hi, lo, sf_dir, replicate,
+                            strict="--strict" in sys.argv)
                    for _ in range(n_pairs)]
         if n_pairs == 1:
             print(json.dumps(results[0]))

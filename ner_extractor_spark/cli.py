@@ -78,13 +78,13 @@ def main(argv=None):
 
     if args.cmd == "curate":
         from ner_extractor_spark.operators.curation import (
-            calibrate_thresholds, curate_corpus)
+            calibrated_curation, curate_corpus)
         from ner_extractor_spark.session import get_spark
         spark = get_spark(app_name="curate")
         docs = spark.read.parquet(args.docs)
         if args.calibrate:
-            verdict = curate_corpus(
-                docs, thresholds=calibrate_thresholds(docs))
+            # single shared score pass (VERDICT r04 #2)
+            verdict = calibrated_curation(docs)
         else:
             verdict = curate_corpus(docs,
                                     dup_threshold=args.dup_threshold,

@@ -112,7 +112,8 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
 def winnow_matches(docs: DataFrame, k: int = 5, w: int = 4,
                    min_shared: int = 1, max_df: int | None = None,
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   checkpoint: bool = True) -> DataFrame:
     """Cross-document winnow overlap report — the MOSS match step that
     ``winnow_fingerprints`` exists to feed (VERDICT r04 #3): explode
     each document's fingerprint set, join documents sharing a
@@ -132,10 +133,26 @@ def winnow_matches(docs: DataFrame, k: int = 5, w: int = 4,
     bounded by n_fingerprints × max_df² and every join keys on the
     fingerprint — the same shingle-df shape as dup_ngram_fraction,
     no pairwise corpus join.  Returns (doc_a, doc_b, n_shared) with
-    doc_a < doc_b, n_shared >= min_shared."""
+    doc_a < doc_b, n_shared >= min_shared.
+
+    The exploded fingerprint table has THREE consumers (the df
+    profile and both sides of the pair join) — without a barrier the
+    rolling-hash pass would execute once per consumer (measured 3×
+    at sf0.1), so it is localCheckpoint-ed once by default (the
+    calibrated_curation discipline); ``checkpoint=False`` keeps the
+    plan lazy."""
+    # explode_outer, not explode: plain explode plants an implicit
+    # size(fingerprints) > 0 guard that Catalyst pushes below the
+    # input-spread Exchange as a scan filter — evaluating the ENTIRE
+    # rolling-hash expression single-task on the pre-shuffle side
+    # (measured: a 14 s serial pass at sf0.1 before the parallel one).
+    # The fingerprint set is never empty (>= 1 window per doc), so the
+    # outer variant is row-identical and generates no pushable filter.
     ex = (winnow_fingerprints(docs, k=k, w=w, id_col=id_col,
                               text_col=text_col)
-          .select("doc_id", F.explode("fingerprints").alias("fp")))
+          .select("doc_id", F.explode_outer("fingerprints").alias("fp")))
+    if checkpoint:
+        ex = ex.localCheckpoint()
     if max_df is not None:
         keep = (ex.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") <= max_df).select("fp"))

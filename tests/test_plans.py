@@ -109,3 +109,53 @@ def test_html_extraction_udf_evaluated_once(spark, tmp_path):
           .select("url", html_to_text(F.col("html")).alias("text")))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_winnow_matches_no_serial_prefilter(spark, tmp_path):
+    """Exploding a HOF-computed array: plain explode's implicit
+    size() > 0 guard gets pushed below the input-spread Exchange as a
+    scan filter, evaluating the whole rolling-hash expression on the
+    single pre-shuffle task (measured 14 s serial at sf0.1).
+    winnow_matches uses explode_outer (row-identical — the
+    fingerprint set is never empty), which generates no pushable
+    filter: pin that no size() predicate reaches the scan."""
+    from pyspark.sql import functions as F
+
+    from ner_extractor_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i} with some words") for i in range(40)],
+        "doc_id int, text string")
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    spread = spark.read.parquet(p).repartition(8, F.col("doc_id"))
+    ex = (winnow_fingerprints(spread)
+          .select("doc_id", F.explode_outer("fingerprints").alias("fp")))
+    plan = ex._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "DataFilters:" in line:
+            assert "size(" not in line, line
+    # the plain-explode variant DOES plant the pushable guard — keep
+    # this canary so a Spark behavior change is noticed either way
+    bad = (winnow_fingerprints(spread)
+           .select("doc_id", F.explode("fingerprints").alias("fp")))
+    bad_plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert any("DataFilters:" in l and "size(" in l
+               for l in bad_plan.splitlines()), bad_plan
+
+
+def test_bpe_encode_vocab_broadcast_plan(spark, tmp_path):
+    """VERDICT r04 #3 plan pin at the file-scan level: bpe_encode's
+    corpus side goes scan -> explode -> BroadcastHashJoin with no
+    hash-partitioning exchange anywhere in the final plan."""
+    from ner_extractor_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(i, f"low lower lowest newer new {i}") for i in range(20)],
+        "doc_id int, text string")
+    p = str(tmp_path / "docs2")
+    docs.write.parquet(p)
+    enc = bpe_encode(spark.read.parquet(p), [("l", "o"), ("lo", "w")])
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
