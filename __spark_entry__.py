@@ -1193,6 +1193,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify_docs_calibrated(
             _docs(spark, sf), synthetic_weights(spark), keep_rate=0.8)
 
+    def chunk_documents(spark, sf):
+        # pretraining chunking: fixed-token sliding windows (size 64,
+        # stride 48 — overlapping context) ahead of sequence packing;
+        # pure HOF flat map, zero shuffle
+        from ner_extractor_spark.operators.packing import \
+            chunk_documents as _chunk
+        return _chunk(_docs(spark, sf), chunk_size=64, stride=48)
+
     def decontam_overlap(spark, sf):
         # eval-set decontamination (GPT-3 appendix-C / FineWeb): flag
         # training docs sharing word n-grams with a benchmark table —
@@ -1278,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed this round --------------------------------
         "text_winnow_matches": text_winnow_matches,   # new r05
         "decontam_overlap": decontam_overlap,         # new r05
+        "chunk_documents": chunk_documents,           # new r05
         "web_domain_keep_rates": web_domain_keep_rates,  # new r05
         "text_ppl_buckets": text_ppl_buckets,         # new r05
         "text_classifier_calibrated": text_classifier_calibrated,  # r05
@@ -2078,6 +2087,28 @@ SELECT doc_id, n_terms, score,
        round(1.0 / (1.0 + exp(-score)), 6) AS prob,
        round(1.0 / (1.0 + exp(-score)), 6) >= 0.5 AS keep
 FROM agg""",
+
+        "chunk_documents": """
+WITH dn AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS tl
+  FROM documents
+),
+nc AS (
+  SELECT doc_id, tl,
+         1 + CAST(ceil(greatest(len(tl) - 64, 0) / 48.0) AS INT)
+           AS n_chunks
+  FROM dn
+),
+cw AS (
+  SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+         tl[CAST(g.i * 48 + 1 AS INT):CAST(g.i * 48 + 64 AS INT)] AS ct
+  FROM nc, unnest(generate_series(0, n_chunks - 1)) g(i)
+)
+SELECT doc_id, chunk_id, CAST(len(ct) AS INT) AS n_tokens,
+       array_to_string(ct, ' ') AS chunk_text
+FROM cw""",
 
         "decontam_overlap": "WITH " + _shingle_sql().lstrip() + """,
 ev AS (

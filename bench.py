@@ -69,6 +69,8 @@ HEADLINE = [
     "text_winnow_matches",  # r05: MOSS cross-doc overlap (df-capped)
     "text_ppl_buckets",    # r05: CCNet head/middle/tail LM bucketing
     "web_corpus_verdict",  # r05: full composed verdict, single score pass
+    "chunk_documents",     # r05: sliding-window pretraining chunking
+    "decontam_overlap",    # r05: eval-set contamination semi-join
 ]
 
 N_RUNS = 3          # interleaved passes per headline query

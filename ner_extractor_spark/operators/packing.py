@@ -94,3 +94,55 @@ def pack_sequences(docs: DataFrame, budget: int, n_buckets: int = 16,
                          F.floor((cum - F.col("n_tokens")) / budget)
                          .cast("int"))
             .select("doc_id", "bucket", "bin", "n_tokens"))
+
+
+def chunk_documents(docs: DataFrame, chunk_size: int = 128,
+                    stride: int | None = None,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Fixed-token-window chunking with overlap — the step every
+    pretraining pipeline runs BEFORE packing: a long document becomes
+    ceil((n_tokens - chunk_size) / stride) + 1 windows of up to
+    ``chunk_size`` whitespace tokens, each window starting ``stride``
+    tokens after the previous (stride < chunk_size ⇒ overlapping
+    context, the BERT/GPT sliding-window convention; default stride =
+    chunk_size, i.e. disjoint windows).  A document shorter than
+    ``chunk_size`` yields exactly one chunk (itself); the last window
+    is the final partial remainder.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text).
+
+    Scale shape: pure per-row HOF expressions + one explode — zero
+    shuffle, a flat map over documents; the token array is bound as a
+    lambda variable so any downstream single-column projection stays
+    collapse-proof (the winnowing lesson), and the chunk windows are
+    built with ``slice`` over the bound array (no re-tokenization per
+    window).  Engine-portable: whitespace tokens and list slicing
+    reproduce exactly in the DuckDB oracle (query ``chunk_documents``).
+    """
+    if stride is None:
+        stride = chunk_size
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    from .dedup import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def windows(tl):
+        # number of windows: 1 + ceil(max(n - chunk_size, 0) / stride)
+        n_chunks = (F.lit(1) + F.ceil(
+            F.greatest(F.size(tl) - chunk_size, F.lit(0))
+            / F.lit(stride)).cast("int"))
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.slice(tl, i * stride + 1, chunk_size).alias("ct")))
+
+    chunks = F.get(F.transform(F.array(toks), windows), 0)
+    ex = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode_outer(chunks).alias("c"))
+          .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                  F.size("c.ct").alias("n_tokens"),
+                  F.array_join("c.ct", " ").alias("chunk_text")))
+    return ex

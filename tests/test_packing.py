@@ -90,3 +90,59 @@ def test_pack_sequences_budget_and_coverage(spark):
     b = sorted(map(tuple, pack_sequences(d.repartition(7), budget=budget,
                                          n_buckets=8).collect()))
     assert a == b
+
+
+def test_chunk_documents_windows_and_remainder(spark):
+    """Sliding-window chunking: window starts every `stride` tokens,
+    each window <= chunk_size tokens, last window is the partial
+    remainder, short docs yield exactly one chunk — pinned against a
+    pure-Python replica."""
+    from ner_extractor_spark.operators.packing import chunk_documents
+
+    rows = [(1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+            (2, "short doc"),                            # 2 tokens
+            (3, " ".join(f"w{i}" for i in range(9)))]    # exact multiple
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+           for r in chunk_documents(docs, chunk_size=4,
+                                    stride=3).collect()}
+
+    def replica(text, size=4, stride=3):
+        toks = " ".join(text.lower().split()).split(" ")
+        n = 1 + max(0, -(-(max(len(toks) - size, 0)) // stride))
+        return {i: toks[i * stride:i * stride + size] for i in range(n)}
+
+    want = {}
+    for doc_id, text in rows:
+        for cid, ct in replica(text).items():
+            want[(doc_id, cid)] = (len(ct), " ".join(ct))
+    assert got == want
+    # doc 2 (shorter than chunk_size): exactly one chunk, itself
+    assert got[(2, 0)] == (2, "short doc")
+
+
+def test_chunk_documents_overlap_covers_every_token(spark):
+    """stride < chunk_size: every token appears in >= 1 chunk and
+    consecutive chunks overlap by chunk_size - stride tokens."""
+    from ner_extractor_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"x{i}" for i in range(50))
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    chunks = sorted((r["chunk_id"], r["chunk_text"].split(" "))
+                    for r in chunk_documents(docs, chunk_size=16,
+                                             stride=12).collect())
+    seen = [t for _, ct in chunks for t in ct]
+    assert set(seen) == {f"x{i}" for i in range(50)}
+    for (i1, c1), (i2, c2) in zip(chunks, chunks[1:]):
+        assert c1[-4:] == c2[:4]    # 16 - 12 = 4 tokens of overlap
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from ner_extractor_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(10)],
+        "doc_id int, text string")
+    plan = chunk_documents(docs, chunk_size=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
