@@ -1184,6 +1184,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n_docs"))
                 .select("bucket", "n_docs", "lo_cut", "hi_cut"))
 
+    def text_ppl_by_lang(spark, sf):
+        # per-language LM tiering (the CCNet convention: each lang is
+        # calibrated against its own score distribution) — grouped
+        # percentile cuts joined back on the bounded group key
+        from ner_extractor_spark.operators.lm import ppl_buckets_grouped
+        return (ppl_buckets_grouped(_docs(spark, sf), "lang")
+                .groupBy("lang", "bucket", "lo_cut", "hi_cut")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .select("lang", "bucket", "n_docs", "lo_cut", "hi_cut"))
+
     def text_classifier_calibrated(spark, sf):
         # classifier gate with a CALIBRATED operating point (VERDICT
         # r04 #6): threshold = the (1 - keep_rate) percentile of the
@@ -1287,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_matches": text_winnow_matches,   # new r05
         "decontam_overlap": decontam_overlap,         # new r05
         "chunk_documents": chunk_documents,           # new r05
+        "text_ppl_by_lang": text_ppl_by_lang,         # new r05
         "web_domain_keep_rates": web_domain_keep_rates,  # new r05
         "text_ppl_buckets": text_ppl_buckets,         # new r05
         "text_classifier_calibrated": text_classifier_calibrated,  # r05
@@ -2188,6 +2199,43 @@ SELECT CASE WHEN lm_score >= hi_cut THEN 'head'
        CAST(count(*) AS BIGINT) AS n_docs, lo_cut, hi_cut
 FROM lm, cuts
 GROUP BY 1, 3, 4""",
+
+        "text_ppl_by_lang": f"""
+WITH nt AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, substring(t, i, 3) AS tri
+  FROM nt, unnest(generate_series(1, greatest(len(t) - 2, 1))) g(i)
+),
+model AS (SELECT tri, count(*) AS c FROM tris GROUP BY tri),
+norm AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                count(*) AS n_distinct FROM model),
+lm AS (
+  SELECT d.doc_id,
+         round(avg(ln((coalesce(m.c, 0) + 1.0)
+                      / (norm.n_total + norm.n_distinct))), 6) AS lm_score
+  FROM tris d LEFT JOIN model m USING (tri), norm
+  GROUP BY d.doc_id
+),
+lml AS (
+  SELECT l.doc_id, d.lang, l.lm_score
+  FROM lm l JOIN documents d USING (doc_id)
+),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(lm_score, {1 / 3!r}), 6) AS lo_cut,
+         round(quantile_cont(lm_score, {2 / 3!r}), 6) AS hi_cut
+  FROM lml GROUP BY lang
+)
+SELECT x.lang,
+       CASE WHEN x.lm_score >= c.hi_cut THEN 'head'
+            WHEN x.lm_score < c.lo_cut THEN 'tail'
+            ELSE 'middle' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs, c.lo_cut, c.hi_cut
+FROM lml x JOIN cuts c USING (lang)
+GROUP BY 1, 2, 4, 5""",
 
         "dedup_first_seen": f"""
 WITH {PAGES_SQL},

@@ -140,7 +140,10 @@ def winnow_matches(docs: DataFrame, k: int = 5, w: int = 4,
     rolling-hash pass would execute once per consumer (measured 3×
     at sf0.1), so it is localCheckpoint-ed once by default (the
     calibrated_curation discipline); ``checkpoint=False`` keeps the
-    plan lazy."""
+    plan lazy.  At petabyte scale, where the exploded table outgrows
+    executor storage, replace the localCheckpoint with a persisted
+    parquet stage (``plans/checkpoints.write_stage``) feeding the
+    three consumers — same barrier semantics, durable storage."""
     # explode_outer, not explode: plain explode plants an implicit
     # size(fingerprints) > 0 guard that Catalyst pushes below the
     # input-spread Exchange as a scan filter — evaluating the ENTIRE

@@ -140,6 +140,40 @@ def ppl_buckets(docs: DataFrame, *, id_col: str = "doc_id",
                     "lo_cut", "hi_cut"))
 
 
+def ppl_buckets_grouped(docs: DataFrame, group_col: str, *,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        lo_q: float = 1 / 3, hi_q: float = 2 / 3,
+                        checkpoint: bool = True) -> DataFrame:
+    """``ppl_buckets`` with PER-GROUP calibration (CCNet calibrates
+    per language; per-domain is the same shape): the quantile cuts
+    come from each group's own score distribution, so a low-resource
+    language's head/middle/tail is not defined by English's scores.
+
+    Shape: one grouped percentile aggregate (group cardinality ≪
+    corpus — languages or domains — and the aggregate is map-side
+    combined) joined back on the group key.  The join-back broadcasts
+    the cuts table (bounded by group cardinality).  Returns
+    (doc_id, <group_col>, lm_score, bucket, lo_cut, hi_cut)."""
+    lm = trigram_logprob(docs, trigram_model(docs, text_col=text_col),
+                         id_col=id_col, text_col=text_col)
+    lm = lm.join(
+        docs.select(F.col(id_col).alias("doc_id"), group_col), "doc_id")
+    if checkpoint:
+        lm = lm.localCheckpoint()
+    cuts = lm.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile(lm_score, {lo_q!r})"), 6)
+        .alias("lo_cut"),
+        F.round(F.expr(f"percentile(lm_score, {hi_q!r})"), 6)
+        .alias("hi_cut"))
+    bucket = (F.when(F.col("lm_score") >= F.col("hi_cut"), F.lit("head"))
+              .when(F.col("lm_score") < F.col("lo_cut"), F.lit("tail"))
+              .otherwise(F.lit("middle")))
+    return (lm.join(F.broadcast(cuts), group_col)
+            .select("doc_id", group_col, "lm_score",
+                    bucket.alias("bucket"), "lo_cut", "hi_cut"))
+
+
 def tfidf_topk(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Top-k salient terms per document by smoothed TF-IDF

@@ -66,3 +66,17 @@ def test_min_shared_raises_the_bar(spark):
     hi = contamination_pairs(train, bench, n=3,
                              min_shared=want + 1).collect()
     assert (3, 100) not in {(r["doc_id"], r["eval_id"]) for r in hi}
+
+
+def test_contamination_shuffle_mode_identical(spark):
+    """The beyond-broadcast shuffle join returns identical pairs and
+    its plan really does not broadcast the benchmark side."""
+    from ner_extractor_spark.operators.decontam import contamination_pairs
+
+    train, bench = _dfs(spark)
+    bc = sorted(map(tuple, contamination_pairs(train, bench,
+                                               n=3).collect()))
+    sh_df = contamination_pairs(train, bench, n=3, join_mode="shuffle")
+    assert sorted(map(tuple, sh_df.collect())) == bc
+    plan = sh_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan

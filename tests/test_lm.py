@@ -158,3 +158,38 @@ def test_ppl_buckets_reuses_external_scores(spark):
         .executedPlan().toString()
     # the reuse path reads only the materialized score table
     assert "Generate" not in plan, plan
+
+
+def test_ppl_buckets_grouped_per_group_cuts(spark):
+    """Per-group calibration: each group's cuts equal the numpy
+    percentiles of THAT group's scores, and bucket assignment uses
+    the group's own cuts (a doc can be 'head' in a weak group while
+    the same score would be 'tail' in a strong one)."""
+    import numpy as np
+
+    from ner_extractor_spark.operators.lm import ppl_buckets_grouped
+
+    rows = ([(i, "en", "the quick brown fox jumps over the lazy dog "
+                       f"near the river {i}") for i in range(8)]
+            + [(100 + i, "zz", "xq zvk wjj qqq zzzz xkcd " + "qzj " * i)
+               for i in range(8)])
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ppl_buckets_grouped(d, "lang").collect()
+    langs = {doc_id: lang for doc_id, lang, _ in rows}
+    scores = {r["doc_id"]: (langs[r["doc_id"]], r["lm_score"]) for r in
+              trigram_logprob(d, trigram_model(d)).collect()}
+    by_lang = {}
+    for _, (lang, s) in scores.items():
+        by_lang.setdefault(lang, []).append(s)
+    cuts = {lang: (round(float(np.percentile(v, 100 / 3, method="linear")), 6),
+                   round(float(np.percentile(v, 200 / 3, method="linear")), 6))
+            for lang, v in by_lang.items()}
+    assert len(out) == len(rows)
+    for r in out:
+        lo, hi = cuts[r["lang"]]
+        assert (r["lo_cut"], r["hi_cut"]) == (lo, hi)
+        s = scores[r["doc_id"]][1]
+        want = "head" if s >= hi else ("tail" if s < lo else "middle")
+        assert r["bucket"] == want
+    # the two groups calibrated independently: different cuts
+    assert cuts["en"] != cuts["zz"]
