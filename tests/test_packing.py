@@ -146,3 +146,21 @@ def test_chunk_documents_is_shuffle_free(spark):
     plan = chunk_documents(docs, chunk_size=4)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_chunk_documents_disjoint_chunks_reconstruct_text(spark):
+    """stride == chunk_size (disjoint windows): concatenating a doc's
+    chunks in chunk_id order reproduces its normalized text exactly —
+    chunking loses nothing."""
+    from ner_extractor_spark.operators.packing import chunk_documents
+
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(1 + 7 * i)))
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {}
+    for r in chunk_documents(docs, chunk_size=5).collect():
+        out.setdefault(r["doc_id"], []).append((r["chunk_id"],
+                                                r["chunk_text"]))
+    for doc_id, text in rows:
+        parts = [t for _, t in sorted(out[doc_id])]
+        assert " ".join(parts) == " ".join(text.split())

@@ -198,3 +198,31 @@ def test_key_skew_profile_topk_is_partial_not_global_sort(spark):
     # the heavy-hitter cut must compile to the distributed partial
     # top-k operator, never a full global sort of the key counts
     assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_link_tolerates_auto_shuffle_partitions(spark):
+    """ADVICE r04: spark.sql.shuffle.partitions='auto' (a value some
+    AQE-managed deployments set; this local Spark rejects it at
+    conf.set, so the helper is probed with a stub conf) must not crash
+    the k=None sizing path — it falls back to defaultParallelism."""
+    from types import SimpleNamespace
+
+    from ner_extractor_spark.operators.link import (_shuffle_partitions,
+                                                    link_exact_salted)
+
+    fake = SimpleNamespace(
+        conf=SimpleNamespace(get=lambda key: "auto"),
+        sparkContext=SimpleNamespace(defaultParallelism=8))
+    assert _shuffle_partitions(fake) == 8
+    none_fake = SimpleNamespace(
+        conf=SimpleNamespace(get=lambda key: None),
+        sparkContext=SimpleNamespace(defaultParallelism=0))
+    assert _shuffle_partitions(none_fake) == 200
+    # and the real k=None path still works against the live session
+    mentions = spark.createDataFrame(
+        [(f"u{i}", "Acme Corp") for i in range(10)],
+        "url string, surface string")
+    aliases = spark.createDataFrame(
+        [("acme corp", "Q1", 0.9)],
+        "alias_norm string, entity_id string, prior double")
+    assert link_exact_salted(mentions, aliases).count() == 10
