@@ -1211,6 +1211,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             chunk_documents as _chunk
         return _chunk(_docs(spark, sf), chunk_size=64, stride=48)
 
+    def dedup_exact_spans(spark, sf):
+        # ExactSubstr (Lee et al. 2022): maximal cross-doc verbatim
+        # token runs >= 8 tokens, via consecutive shared-n-gram
+        # sessionization — span-level dedup between doc-level dedup
+        # and dup-ngram fractions in granularity
+        from ner_extractor_spark.operators.exact_substr import \
+            exact_substring_spans
+        return exact_substring_spans(_docs(spark, sf), n=8)
+
+    def dedup_span_removed(spark, sf):
+        # the removal policy: flagged spans deleted token-wise, docs
+        # survive (summary projection keeps the contract scalar-only
+        # and compact: md5 of the cleaned text + the removal count)
+        from ner_extractor_spark.operators.exact_substr import \
+            remove_exact_substrings
+        return remove_exact_substrings(_docs(spark, sf), n=8).select(
+            "doc_id", F.md5("text").alias("text_md5"),
+            "n_removed_tokens")
+
     def decontam_overlap(spark, sf):
         # eval-set decontamination (GPT-3 appendix-C / FineWeb): flag
         # training docs sharing word n-grams with a benchmark table —
@@ -1298,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": decontam_overlap,         # new r05
         "chunk_documents": chunk_documents,           # new r05
         "text_ppl_by_lang": text_ppl_by_lang,         # new r05
+        "dedup_exact_spans": dedup_exact_spans,       # new r05
+        "dedup_span_removed": dedup_span_removed,     # new r05
         "web_domain_keep_rates": web_domain_keep_rates,  # new r05
         "text_ppl_buckets": text_ppl_buckets,         # new r05
         "text_classifier_calibrated": text_classifier_calibrated,  # r05
@@ -2120,6 +2141,82 @@ cw AS (
 SELECT doc_id, chunk_id, CAST(len(ct) AS INT) AS n_tokens,
        array_to_string(ct, ' ') AS chunk_text
 FROM cw""",
+
+        "dedup_exact_spans": """
+WITH dn AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS tl
+  FROM documents
+),
+pg AS (
+  SELECT doc_id, CAST(t.i - 1 AS INT) AS pos,
+         md5(array_to_string(tl[CAST(t.i AS INT):CAST(t.i + 7 AS INT)],
+                             ' ')) AS g
+  FROM dn, unnest(generate_series(1, len(tl) - 7)) t(i)
+),
+hot AS (
+  SELECT g FROM pg GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (SELECT doc_id, pos FROM pg JOIN hot USING (g)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM dup
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS start,
+       CAST(max(pos) + 7 AS INT) AS "end",
+       CAST(max(pos) - min(pos) + 8 AS INT) AS n_tokens
+FROM runs GROUP BY doc_id, grp""",
+
+        "dedup_span_removed": """
+WITH dn AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS tl
+  FROM documents
+),
+pg AS (
+  SELECT doc_id, CAST(t.i - 1 AS INT) AS pos,
+         md5(array_to_string(tl[CAST(t.i AS INT):CAST(t.i + 7 AS INT)],
+                             ' ')) AS g
+  FROM dn, unnest(generate_series(1, len(tl) - 7)) t(i)
+),
+hot AS (
+  SELECT g FROM pg GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (SELECT doc_id, pos FROM pg JOIN hot USING (g)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM dup
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM runs GROUP BY doc_id, grp
+),
+tokpos AS (
+  SELECT doc_id, CAST(t.i - 1 AS INT) AS i, tl[CAST(t.i AS INT)] AS tok
+  FROM dn, unnest(generate_series(1, len(tl))) t(i)
+),
+flagged AS (
+  SELECT DISTINCT p.doc_id, p.i
+  FROM tokpos p JOIN spans s
+    ON s.doc_id = p.doc_id AND p.i BETWEEN s.s AND s.e
+),
+kept AS (
+  SELECT tp.doc_id,
+         COALESCE(string_agg(tp.tok, ' ' ORDER BY tp.i)
+                  FILTER (f.i IS NULL), '') AS text,
+         CAST(count(*) FILTER (f.i IS NOT NULL) AS INT)
+           AS n_removed_tokens
+  FROM tokpos tp LEFT JOIN flagged f
+    ON f.doc_id = tp.doc_id AND f.i = tp.i
+  GROUP BY tp.doc_id
+)
+SELECT doc_id, md5(text) AS text_md5, n_removed_tokens FROM kept""",
 
         "decontam_overlap": "WITH " + _shingle_sql().lstrip() + """,
 ev AS (

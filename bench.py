@@ -71,6 +71,7 @@ HEADLINE = [
     "web_corpus_verdict",  # r05: full composed verdict, single score pass
     "chunk_documents",     # r05: sliding-window pretraining chunking
     "decontam_overlap",    # r05: eval-set contamination semi-join
+    "dedup_exact_spans",   # r05: ExactSubstr span-level dedup
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
