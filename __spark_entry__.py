@@ -1430,13 +1430,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     })
 
 
-#: queries whose CONTRACT SHAPE changed this round: they already have a
-#: recent driver row (so rotation would bury them), but that row tested
-#: the OLD shape — force them into the sampling window until the new
-#: shape earns its own driver row.  r05: the two r04 driver-red
-#: array-schema queries, now projecting driver-sortable scalars
-#: (VERDICT r04 #1 — "done" means a green r05 driver row for both).
-_CHANGED_THIS_ROUND = ["text_hashed_embed", "text_winnow"]
+#: queries whose CONTRACT SHAPE changed, keyed by the round the change
+#: landed: they already have a recent driver row (so rotation would
+#: bury them), but that row tested the OLD shape — force them into the
+#: sampling window until a driver row from >= the change round exists,
+#: then the override expires on its own.  r05 entries: the two r04
+#: driver-red array-schema queries, now projecting driver-sortable
+#: scalars (VERDICT r04 #1 — "done" means a green r05 driver row).
+_SHAPE_CHANGED = {"text_hashed_embed": 5, "text_winnow": 5}
 
 
 def _rotate_contract(d: dict) -> dict:
@@ -1466,7 +1467,11 @@ def _rotate_contract(d: dict) -> dict:
             continue
         for n in names:
             last[n] = max(last.get(n, 0), rnd)
-    forced = [n for n in _CHANGED_THIS_ROUND if n in d]
+    # self-expiring: force only while the query's last driver row
+    # predates its shape change — the first post-change sampling
+    # round retires the override automatically
+    forced = [n for n, rnd in _SHAPE_CHANGED.items()
+              if n in d and last.get(n, 0) < rnd]
     rest = sorted((n for n in d if n not in forced),
                   key=lambda n: (last.get(n, -1), n))
     return {n: d[n] for n in forced + rest}
