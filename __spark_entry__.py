@@ -1211,6 +1211,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             chunk_documents as _chunk
         return _chunk(_docs(spark, sf), chunk_size=64, stride=48)
 
+    def corpus_training_pipeline(spark, sf):
+        # the FULL training-data flow in one plan (the FineWeb-style
+        # composition this engine exists for): url gates + calibrated
+        # curation + classifier verdict -> keep survivors -> chunk
+        # into disjoint 64-token windows -> pack chunks into
+        # 500-token-budget bins; per-(bucket, bin) summary.  Every
+        # constituent is its own oracle-checked query; this pins the
+        # end-to-end composition.
+        from ner_extractor_spark.operators.classifier import \
+            synthetic_weights
+        from ner_extractor_spark.operators.packing import (
+            chunk_documents as _chunk, pack_sequences)
+        from ner_extractor_spark.operators.web_verdict import \
+            full_web_verdict
+        d = _web_docs_with_urls(_docs(spark, sf))
+        verdict = full_web_verdict(
+            d, synthetic_weights(spark),
+            blocked_domains=("tracker.test", "spam.example"),
+            blocked_terms=("casino",))
+        kept = d.join(verdict.filter("keep").select("doc_id"), "doc_id")
+        chunks = _chunk(kept, chunk_size=64).select(
+            F.concat_ws("#", "doc_id", "chunk_id").alias("chunk_uid"),
+            "chunk_text")
+        packed = pack_sequences(chunks, budget=500, n_buckets=16,
+                                id_col="chunk_uid",
+                                text_col="chunk_text")
+        return (packed.groupBy("bucket", "bin")
+                .agg(F.count(F.lit(1)).alias("n_chunks"),
+                     F.sum("n_tokens").alias("tok_sum")))
+
     def dedup_exact_spans(spark, sf):
         # ExactSubstr (Lee et al. 2022): maximal cross-doc verbatim
         # token runs >= 8 tokens, via consecutive shared-n-gram
@@ -1319,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ppl_by_lang": text_ppl_by_lang,         # new r05
         "dedup_exact_spans": dedup_exact_spans,       # new r05
         "dedup_span_removed": dedup_span_removed,     # new r05
+        "corpus_training_pipeline": corpus_training_pipeline,  # r05
         "web_domain_keep_rates": web_domain_keep_rates,  # new r05
         "text_ppl_buckets": text_ppl_buckets,         # new r05
         "text_classifier_calibrated": text_classifier_calibrated,  # r05
@@ -3883,6 +3914,54 @@ SELECT h.host, CAST(count(*) AS BIGINT) AS n_docs,
                   AS DOUBLE) / count(*), 6) AS keep_rate
 FROM fin2 f JOIN hostx h USING (doc_id)
 GROUP BY h.host"""
+
+    # corpus_training_pipeline: verdict survivors -> 64-token disjoint
+    # chunks -> 500-token-budget packing (the pack_bins hashing/window
+    # logic over chunk uids) — the full curate->chunk->pack flow
+    d["corpus_training_pipeline"] = wv[: -len(tail2)] + f""",
+keptd AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN fin2 f ON f.doc_id = d.doc_id
+  WHERE f.reason = 'ok'
+),
+kdn AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS tl
+  FROM keptd
+),
+knc AS (
+  SELECT doc_id, tl,
+         1 + CAST(ceil(greatest(len(tl) - 64, 0) / 64.0) AS INT)
+           AS n_chunks
+  FROM kdn
+),
+kcw AS (
+  SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+         tl[CAST(g.i * 64 + 1 AS INT):CAST(g.i * 64 + 64 AS INT)] AS ct
+  FROM knc, unnest(generate_series(0, n_chunks - 1)) g(i)
+),
+crow AS (
+  SELECT CAST(len(ct) AS BIGINT) AS n_tokens,
+         md5('42|' || CAST(doc_id AS VARCHAR) || '#'
+             || CAST(chunk_id AS VARCHAR)) AS h
+  FROM kcw
+),
+cb AS (
+  SELECT n_tokens, h, {_hex4_fold_sql("h")} % 16 AS bucket
+  FROM crow
+),
+ccum AS (
+  SELECT bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cb
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(floor((cum - n_tokens) / 500.0) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+FROM ccum GROUP BY 1, 2"""
     return d
 
 

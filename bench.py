@@ -72,6 +72,7 @@ HEADLINE = [
     "chunk_documents",     # r05: sliding-window pretraining chunking
     "decontam_overlap",    # r05: eval-set contamination semi-join
     "dedup_exact_spans",   # r05: ExactSubstr span-level dedup
+    "corpus_training_pipeline",  # r05: verdict -> chunk -> pack, one plan
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
