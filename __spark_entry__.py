@@ -1476,7 +1476,7 @@ def _rotate_contract(d: dict) -> dict:
 
     The driver writes CORRECTNESS_r{N}.json with one key per query it
     actually sampled; replaying that history gives each query its last
-    driver round.  Shape-changed queries (``_CHANGED_THIS_ROUND``)
+    driver round.  Shape-changed queries (``_SHAPE_CHANGED``)
     lead outright, then never-sampled (incl. new-this-round) queries,
     then ascending last-sampled round, alphabetical within a class —
     deterministic, and self-maintaining as rounds accumulate.
@@ -2174,7 +2174,8 @@ cw AS (
          tl[CAST(g.i * 48 + 1 AS INT):CAST(g.i * 48 + 64 AS INT)] AS ct
   FROM nc, unnest(generate_series(0, n_chunks - 1)) g(i)
 )
-SELECT doc_id, chunk_id, CAST(len(ct) AS INT) AS n_tokens,
+SELECT doc_id, chunk_id,
+       CAST(len(list_filter(ct, t -> t != '')) AS INT) AS n_tokens,
        array_to_string(ct, ' ') AS chunk_text
 FROM cw""",
 

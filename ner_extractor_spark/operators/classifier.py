@@ -94,7 +94,9 @@ def classify_docs(docs: DataFrame, weights: DataFrame,
 
 
 def calibrate_classifier_threshold(scored: DataFrame,
-                                   keep_rate: float = 0.8) -> DataFrame:
+                                   keep_rate: float = 0.8,
+                                   approx: bool = False,
+                                   accuracy: int = 10000) -> DataFrame:
     """1-row (cls_threshold): the probability cut that keeps the top
     ``keep_rate`` fraction of documents by classifier probability —
     the same corpus-derived-calibration posture as
@@ -102,12 +104,20 @@ def calibrate_classifier_threshold(scored: DataFrame,
     magic constant; a keep-rate target is an operating point).
 
     ``scored`` is ``classify_docs`` output (or any DataFrame with a
-    ``prob`` column); exact interpolated percentile, rounded to 6 so
-    DuckDB's ``quantile_cont`` replays the identical cut.  One 1-row
-    global aggregate over a table the gate needs anyway."""
+    ``prob`` column).  ``approx=False``: exact interpolated
+    percentile, rounded to 6 so DuckDB's ``quantile_cont`` replays the
+    identical cut — but the exact UDAF buffers every probability in
+    ONE aggregation buffer (single-task O(corpus) memory, VERDICT r05
+    #1); ``approx=True`` (the at-scale default) uses
+    ``approx_percentile``'s mergeable bounded state — see
+    functions/quantiles.  One 1-row global aggregate over a table the
+    gate needs anyway."""
+    from ner_extractor_spark.functions.quantiles import quantile_agg
+
     q = 1.0 - keep_rate
     return scored.agg(F.round(
-        F.expr(f"percentile(prob, {q!r})"), 6).alias("cls_threshold"))
+        quantile_agg("prob", q, approx, accuracy), 6)
+        .alias("cls_threshold"))
 
 
 def classify_docs_calibrated(docs: DataFrame, weights: DataFrame,
@@ -116,7 +126,9 @@ def classify_docs_calibrated(docs: DataFrame, weights: DataFrame,
                              text_col: str = "text",
                              bias: float = 0.0,
                              n_buckets: int = N_BUCKETS,
-                             checkpoint: bool = True) -> DataFrame:
+                             checkpoint: bool = True,
+                             approx: bool = False,
+                             accuracy: int = 10000) -> DataFrame:
     """``classify_docs`` with the threshold derived from the corpus'
     own probability distribution instead of a scalar: keep = prob >=
     the (1 - keep_rate) percentile.
@@ -133,7 +145,8 @@ def classify_docs_calibrated(docs: DataFrame, weights: DataFrame,
                            n_buckets=n_buckets)
     if checkpoint:
         scored = scored.localCheckpoint()
-    thr = calibrate_classifier_threshold(scored, keep_rate=keep_rate)
+    thr = calibrate_classifier_threshold(scored, keep_rate=keep_rate,
+                                         approx=approx, accuracy=accuracy)
     return (scored.drop("keep").crossJoin(F.broadcast(thr))
             .select("doc_id", "n_terms", "score", "prob",
                     (F.col("prob") >= F.col("cls_threshold")).alias("keep"),

@@ -65,11 +65,26 @@ def exact_substring_spans(docs: DataFrame, n: int = 8, *,
 
     ``min_df`` counts DISTINCT documents, so within-doc repetition
     alone does not flag a span (that is ``text_repetition``'s job).
+
+    Barrier posture (VERDICT r05 #2): the positional-gram table is ONE
+    ROW PER CORPUS TOKEN — the largest intermediate in this repo, far
+    beyond the per-doc score tables the localCheckpoint discipline was
+    sized for.  The default ``checkpoint=True`` localCheckpoint is
+    right at sandbox scale (it stops the explode re-running for the
+    two consumers: df profile + join-back); for beyond-memory corpora
+    either (a) replace it with a persisted parquet stage
+    (``plans/checkpoints.write_stage`` feeding both consumers — the
+    same durable-barrier swap ``winnow_matches`` documents for its
+    exploded fingerprint table), or (b) pass ``checkpoint=False`` and
+    accept the explode running twice — the gram table is then never
+    materialized anywhere, and both passes are embarrassingly
+    parallel map work.
     """
     grams = _positional_grams(docs, n, id_col, text_col)
     if checkpoint:
         # two consumers (df profile + join-back) — one barrier, the
-        # winnow_matches discipline
+        # winnow_matches discipline; see the docstring for the
+        # durable-stage / no-barrier alternatives at corpus scale
         grams = grams.localCheckpoint()
     hot = (grams.groupBy("g")
            .agg(F.count_distinct("doc_id").alias("df"))

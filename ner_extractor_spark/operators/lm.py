@@ -99,7 +99,10 @@ def ppl_buckets(docs: DataFrame, *, id_col: str = "doc_id",
                 text_col: str = "text",
                 lm: DataFrame | None = None,
                 lo_q: float = 1 / 3, hi_q: float = 2 / 3,
-                checkpoint: bool = True) -> DataFrame:
+                checkpoint: bool = True,
+                join_mode: str = "broadcast",
+                approx: bool = False,
+                accuracy: int = 10000) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (VERDICT r04 #4 —
     the standard companion of the LM gate): cut the corpus into three
     quality tiers by quantiles of the per-document trigram-LM score.
@@ -120,17 +123,28 @@ def ppl_buckets(docs: DataFrame, *, id_col: str = "doc_id",
     pinned copy (the ``calibrated_curation`` barrier discipline);
     pass ``lm=`` to reuse an externally computed score table (e.g.
     ``curation_scores``' lm half) — then this adds NO corpus pass at
-    all.  Exact interpolated percentile rounded to 6 — the DuckDB
-    ``quantile_cont`` twin replays the identical cuts."""
+    all.
+
+    Cut modes (VERDICT r05 #1): ``approx=False`` = exact interpolated
+    percentile rounded to 6 — the DuckDB ``quantile_cont`` twin
+    replays the identical cuts, but Spark's exact percentile buffers
+    the WHOLE corpus' scores in one aggregation buffer (single-task
+    O(corpus-rows) memory — an OOM at 10⁹+ docs).  ``approx=True`` =
+    ``approx_percentile`` (mergeable Greenwald-Khanna state, the
+    at-scale default; see functions/quantiles).  ``join_mode``
+    reaches ``trigram_logprob`` (ADVICE r05)."""
+    from ner_extractor_spark.functions.quantiles import quantile_agg
+
     if lm is None:
         lm = trigram_logprob(docs, trigram_model(docs, text_col=text_col),
-                             id_col=id_col, text_col=text_col)
+                             id_col=id_col, text_col=text_col,
+                             join_mode=join_mode)
         if checkpoint:
             lm = lm.localCheckpoint()
     cuts = lm.agg(
-        F.round(F.expr(f"percentile(lm_score, {lo_q!r})"), 6)
+        F.round(quantile_agg("lm_score", lo_q, approx, accuracy), 6)
         .alias("lo_cut"),
-        F.round(F.expr(f"percentile(lm_score, {hi_q!r})"), 6)
+        F.round(quantile_agg("lm_score", hi_q, approx, accuracy), 6)
         .alias("hi_cut"))
     bucket = (F.when(F.col("lm_score") >= F.col("hi_cut"), F.lit("head"))
               .when(F.col("lm_score") < F.col("lo_cut"), F.lit("tail"))
@@ -144,7 +158,10 @@ def ppl_buckets_grouped(docs: DataFrame, group_col: str, *,
                         id_col: str = "doc_id",
                         text_col: str = "text",
                         lo_q: float = 1 / 3, hi_q: float = 2 / 3,
-                        checkpoint: bool = True) -> DataFrame:
+                        checkpoint: bool = True,
+                        join_mode: str = "broadcast",
+                        approx: bool = False,
+                        accuracy: int = 10000) -> DataFrame:
     """``ppl_buckets`` with PER-GROUP calibration (CCNet calibrates
     per language; per-domain is the same shape): the quantile cuts
     come from each group's own score distribution, so a low-resource
@@ -154,17 +171,26 @@ def ppl_buckets_grouped(docs: DataFrame, group_col: str, *,
     corpus — languages or domains — and the aggregate is map-side
     combined) joined back on the group key.  The join-back broadcasts
     the cuts table (bounded by group cardinality).  Returns
-    (doc_id, <group_col>, lm_score, bucket, lo_cut, hi_cut)."""
+    (doc_id, <group_col>, lm_score, bucket, lo_cut, hi_cut).
+
+    NOTE the exact-percentile memory bound bites HARDEST here: the
+    grouped aggregate buffers each GROUP's scores in one buffer, and a
+    web corpus' dominant language group is corpus-sized — pass
+    ``approx=True`` at scale (VERDICT r05 #1; see functions/quantiles
+    and the ppl_buckets docstring)."""
+    from ner_extractor_spark.functions.quantiles import quantile_agg
+
     lm = trigram_logprob(docs, trigram_model(docs, text_col=text_col),
-                         id_col=id_col, text_col=text_col)
+                         id_col=id_col, text_col=text_col,
+                         join_mode=join_mode)
     lm = lm.join(
         docs.select(F.col(id_col).alias("doc_id"), group_col), "doc_id")
     if checkpoint:
         lm = lm.localCheckpoint()
     cuts = lm.groupBy(group_col).agg(
-        F.round(F.expr(f"percentile(lm_score, {lo_q!r})"), 6)
+        F.round(quantile_agg("lm_score", lo_q, approx, accuracy), 6)
         .alias("lo_cut"),
-        F.round(F.expr(f"percentile(lm_score, {hi_q!r})"), 6)
+        F.round(quantile_agg("lm_score", hi_q, approx, accuracy), 6)
         .alias("hi_cut"))
     bucket = (F.when(F.col("lm_score") >= F.col("hi_cut"), F.lit("head"))
               .when(F.col("lm_score") < F.col("lo_cut"), F.lit("tail"))

@@ -140,9 +140,15 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 128,
                 F.slice(tl, i * stride + 1, chunk_size).alias("ct")))
 
     chunks = F.get(F.transform(F.array(toks), windows), 0)
+    # n_tokens counts NON-EMPTY tokens (ADVICE r05): split('') yields
+    # [''], so an empty/whitespace-only document is one chunk with
+    # chunk_text '' and n_tokens 0 — consistent with token_count()'s
+    # 0-for-empty convention that pack_sequences budgets downstream
+    # (size() alone would charge such a doc a phantom token)
     ex = (docs.select(F.col(id_col).alias("doc_id"),
                       F.explode_outer(chunks).alias("c"))
           .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
-                  F.size("c.ct").alias("n_tokens"),
+                  F.size(F.filter("c.ct", lambda t: t != ""))
+                  .alias("n_tokens"),
                   F.array_join("c.ct", " ").alias("chunk_text")))
     return ex

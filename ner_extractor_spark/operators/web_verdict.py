@@ -43,7 +43,11 @@ def full_web_verdict(docs: DataFrame, weights: DataFrame, *,
                      dup_quantile: float = 0.95,
                      dup_threshold: float | None = None,
                      lm_threshold: float | None = None,
-                     checkpoint: bool = True) -> DataFrame:
+                     checkpoint: bool = True,
+                     lm_join: str = "broadcast",
+                     approx: bool = False,
+                     accuracy: int = 10000,
+                     near: DataFrame | bool = False) -> DataFrame:
     """(id_col, keep, reason) — one first-violation verdict row per
     input document.
 
@@ -52,7 +56,16 @@ def full_web_verdict(docs: DataFrame, weights: DataFrame, *,
     gating (the streaming default — calibrate offline, freeze the
     cuts), or NEITHER for corpus-local calibration via
     ``calibrated_curation`` (single shared score pass).  Passing only
-    one is ambiguous and rejected."""
+    one is ambiguous and rejected.
+
+    Scale knobs, threaded through the whole composition (ADVICE r05 +
+    VERDICT r05 #1/#3): ``lm_join`` selects the trigram-model join
+    strategy ('broadcast' default / 'shuffle' for beyond-broadcast
+    multilingual models / 'auto'); ``approx=True`` switches every
+    calibration quantile to mergeable ``approx_percentile`` state (the
+    at-scale mode — exact is the oracle-parity default);
+    ``near=True`` (or a precomputed (id, nd_keeper) table) inserts the
+    MinHash near-duplicate rule into the curation chain."""
     if (dup_threshold is None) != (lm_threshold is None):
         raise ValueError("pass both scalar thresholds (frozen mode) "
                          "or neither (corpus-local calibration)")
@@ -75,11 +88,14 @@ def full_web_verdict(docs: DataFrame, weights: DataFrame, *,
         cur = calibrated_curation(docs, id_col=id_col, text_col=text_col,
                                   lm_quantile=lm_quantile,
                                   dup_quantile=dup_quantile,
-                                  checkpoint=checkpoint)
+                                  checkpoint=checkpoint,
+                                  lm_join=lm_join, approx=approx,
+                                  accuracy=accuracy, near=near)
     else:
         cur = curate_corpus(docs, id_col=id_col, text_col=text_col,
                             dup_threshold=dup_threshold,
-                            lm_threshold=lm_threshold)
+                            lm_threshold=lm_threshold,
+                            lm_join=lm_join, near=near)
     cur = cur.select(id_col, F.col("reason").alias("_cr"))
     cls = (classify_docs(docs, weights, id_col=id_col, text_col=text_col)
            .select(F.col("doc_id").alias(id_col), "prob"))

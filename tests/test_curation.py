@@ -218,3 +218,104 @@ def test_web_corpus_verdict_rule_order(spark):
     assert got[2] == "blocked_term"        # url gate outranks quality
     assert got[3] == "too_short"
     assert got[4] == "ok"                  # bias=10 keeps the classifier open
+
+
+def test_approx_quantile_cuts_agree_with_exact(spark):
+    """VERDICT r05 #1: the at-scale approx_percentile mode must land
+    within rank tolerance of the exact interpolated cut.  At default
+    accuracy (10000 >> corpus rows) GK keeps every sample, so the
+    approx cut is an actual observed score adjacent to the exact
+    interpolated value — assert the cuts bracket within one
+    inter-score gap and the resulting verdicts differ on at most the
+    boundary document."""
+    from ner_extractor_spark.operators.curation import calibrate_thresholds
+
+    d = _df(spark)
+    exact = calibrate_thresholds(d).first()
+    approx = calibrate_thresholds(d, approx=True).first()
+    # with accuracy >> n the approx value is an observed score whose
+    # rank differs from the target by < 1 — i.e. within the gap
+    # between adjacent order statistics around the exact cut
+    from ner_extractor_spark.operators.curation import curation_scores
+    lm, dup = curation_scores(d)
+    lm_s = sorted(r["lm_score"] for r in lm.collect())
+    dup_s = sorted(r["dup_fraction"] for r in dup.collect())
+
+    def gap(vals, x):
+        lo = max([v for v in vals if v <= x], default=vals[0])
+        hi = min([v for v in vals if v >= x], default=vals[-1])
+        return lo, hi
+
+    lo, hi = gap(lm_s, exact["lm_threshold"])
+    assert lo - 1e-6 <= approx["lm_threshold"] <= hi + 1e-6
+    lo, hi = gap(dup_s, exact["dup_threshold"])
+    assert lo - 1e-6 <= approx["dup_threshold"] <= hi + 1e-6
+
+
+def test_approx_mode_runs_composed_flagships(spark):
+    """The composed calibrated paths accept approx=True end to end
+    (calibrated_curation and classifier calibration) and stay TOTAL
+    over the input."""
+    from ner_extractor_spark.operators.classifier import (
+        classify_docs_calibrated, synthetic_weights)
+    from ner_extractor_spark.operators.curation import calibrated_curation
+
+    d = _df(spark)
+    out = calibrated_curation(d, approx=True).collect()
+    assert len(out) == len(DOCS)
+    cls = classify_docs_calibrated(d, synthetic_weights(spark),
+                                   approx=True).collect()
+    assert len(cls) == len(DOCS)
+
+
+def test_ppl_buckets_approx_partitions_corpus(spark):
+    """Approx-mode CCNet tiers: every doc gets a bucket and the
+    head/middle/tail cuts come from observed scores adjacent to the
+    exact cuts."""
+    from ner_extractor_spark.operators.lm import ppl_buckets
+
+    d = _df(spark)
+    ex = {r["doc_id"]: r["bucket"]
+          for r in ppl_buckets(d, approx=False).collect()}
+    ap = {r["doc_id"]: r["bucket"]
+          for r in ppl_buckets(d, approx=True).collect()}
+    assert set(ap) == set(ex)
+    # bucket churn bounded: cuts move by at most one order statistic,
+    # so at most one doc per cut can flip tier
+    churn = sum(1 for k in ex if ex[k] != ap[k])
+    assert churn <= 2
+
+
+def test_near_duplicate_rule_precedence(spark):
+    """VERDICT r05 #3: near=True drops MinHash-LSH cluster non-
+    representatives with reason 'near_duplicate', ranked AFTER
+    exact_duplicate and BEFORE dup_ngrams; the representative
+    survives the rule (it may still trip the symmetric rules)."""
+    from ner_extractor_spark.operators.curation import near_dup_keepers
+
+    d = _df(spark)
+    nd = {r["doc_id"]: r["nd_keeper"]
+          for r in near_dup_keepers(d).collect()}
+    # docs 1 and 6 share most shingles -> same LSH cluster, keeper 1;
+    # exact dups 4/5 also cluster (identical signatures), keeper 4
+    assert nd[6] == 1 and nd[1] == 1
+    assert nd[5] == 4 and nd[4] == 4
+    got = {r["doc_id"]: r["reason"]
+           for r in curate_corpus(d, near=True,
+                                  dup_threshold=1.01).collect()}
+    # 5 is an EXACT duplicate -> the more specific reason wins
+    assert got[5] == "exact_duplicate"
+    # 6 is a near (not exact) duplicate of 1 -> the new rule fires
+    assert got[6] == "near_duplicate"
+    # representatives survive the near-dup rule
+    assert got[1] == "ok" and got[4] == "ok"
+    # quality still outranks everything
+    assert got[7] == "too_short"
+
+
+def test_near_rule_off_by_default_matches_prior_contract(spark):
+    """near defaults to False: the pre-r06 verdicts are unchanged."""
+    base = sorted(map(tuple, curate_corpus(_df(spark)).collect()))
+    off = sorted(map(tuple, curate_corpus(_df(spark),
+                                          near=False).collect()))
+    assert base == off

@@ -164,3 +164,18 @@ def test_chunk_documents_disjoint_chunks_reconstruct_text(spark):
     for doc_id, text in rows:
         parts = [t for _, t in sorted(out[doc_id])]
         assert " ".join(parts) == " ".join(text.split())
+
+
+def test_chunk_empty_doc_has_zero_tokens(spark):
+    """ADVICE r05: split('') yields [''] — an empty/whitespace-only
+    document must chunk to ONE row with n_tokens 0 and chunk_text '',
+    consistent with token_count()'s 0-for-empty convention that
+    pack_sequences budgets downstream (no phantom token)."""
+    from ner_extractor_spark.operators.packing import chunk_documents
+
+    d = spark.createDataFrame([(1, ""), (2, "   "), (3, "one two")],
+                              "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in chunk_documents(d, chunk_size=4).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["chunk_text"] == ""
+    assert rows[2]["n_tokens"] == 0 and rows[2]["chunk_text"] == ""
+    assert rows[3]["n_tokens"] == 2 and rows[3]["chunk_text"] == "one two"
