@@ -1326,6 +1326,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round(F.col("n_kept") / F.col("n_docs"), 6)
                         .alias("keep_rate")))
 
+    def curation_calibrate_approx(spark, sf):
+        # VERDICT r05 #1: the scale-safe approx_percentile calibration
+        # mode, oracle-pinned — exact cuts (DuckDB quantile_cont twin)
+        # ride the row alongside booleans asserting the approx cuts
+        # (mergeable GK state, the at-scale default) land within the
+        # pinned tolerance of the exact ones.  One shared score pass
+        # feeds both modes (the calibrated_curation barrier
+        # discipline); measured deltas at sf0.01: 3e-4 / 0.0.
+        from ner_extractor_spark.operators.curation import (
+            calibrate_thresholds, curation_scores)
+        d = _docs(spark, sf)
+        lm, dup = curation_scores(d)
+        lm, dup = lm.localCheckpoint(), dup.localCheckpoint()
+        exact = calibrate_thresholds(scores=(lm, dup))
+        ap = calibrate_thresholds(scores=(lm, dup), approx=True).select(
+            F.col("lm_threshold").alias("lm_a"),
+            F.col("dup_threshold").alias("dup_a"))
+        tol = 0.01
+        return exact.crossJoin(ap).select(
+            "lm_threshold", "dup_threshold",
+            (F.abs(F.col("lm_a") - F.col("lm_threshold")) <= tol)
+            .alias("lm_agree"),
+            (F.abs(F.col("dup_a") - F.col("dup_threshold")) <= tol)
+            .alias("dup_agree"))
+
+    def corpus_curation_neardup(spark, sf):
+        # VERDICT r05 #3: the calibrated curation chain WITH the
+        # MinHash-LSH near-duplicate rule (FineWeb's keep/drop runs
+        # near-dedup, not just exact): cluster representatives keep,
+        # non-representatives drop with reason 'near_duplicate',
+        # ranked after exact_duplicate and before dup_ngrams
+        from ner_extractor_spark.operators.curation import \
+            calibrated_curation
+        return calibrated_curation(_docs(spark, sf), near=True)
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1343,6 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # class, after the alphabetical key.)
     return _rotate_contract({
         # -- new / changed this round --------------------------------
+        "curation_calibrate_approx": curation_calibrate_approx,  # r06
+        "corpus_curation_neardup": corpus_curation_neardup,      # r06
         "text_winnow_matches": text_winnow_matches,   # new r05
         "decontam_overlap": decontam_overlap,         # new r05
         "chunk_documents": chunk_documents,           # new r05
@@ -3963,6 +4000,54 @@ SELECT CAST(bucket AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(n_tokens) AS BIGINT) AS tok_sum
 FROM ccum GROUP BY 1, 2"""
+
+    # curation_calibrate_approx: the exact cuts are the oracle-checked
+    # values (identical quantile_cont chain); the approx-agreement
+    # booleans are a Spark-side invariant (|approx - exact| <= 0.01,
+    # GK summaries at accuracy >> corpus rows) the oracle pins TRUE
+    d["curation_calibrate_approx"] = (
+        d["curation_calibrate"]
+        + ",\n       TRUE AS lm_agree, TRUE AS dup_agree")
+
+    # corpus_curation_neardup: the calibrated chain + the MinHash-LSH
+    # near-duplicate rule — reuse the proven corpus_curation CTE chain
+    # (its sh CTE IS the shingle table minhash consumes), add the
+    # banded-signature pairing + recursive transitive closure from the
+    # verified dedup_resolve oracle, and slot the rule into the CASE
+    cc0 = d["corpus_curation"]
+    tailc = "SELECT doc_id, reason = 'ok' AS keep, reason FROM fin"
+    assert cc0.endswith(tailc)
+    mb = _minhash_bands_sql()
+    nd_ctes = mb[mb.index("mh AS ("):] + """,
+symnd AS (
+  SELECT a AS s, b AS t FROM mpairs
+  UNION SELECT b, a FROM mpairs
+),
+reachnd(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT symnd.t, reachnd.comp
+  FROM symnd JOIN reachnd ON symnd.s = reachnd.node
+),
+canonnd AS (SELECT node, min(comp) AS nd_keeper FROM reachnd
+            GROUP BY node),
+"""
+    body = cc0[: -len(tailc)]
+    case_old = "WHEN x.doc_id != k.keeper THEN 'exact_duplicate'"
+    case_new = (case_old
+                + "\n              WHEN nd.nd_keeper != q.doc_id "
+                  "THEN 'near_duplicate'")
+    join_old = "JOIN dupf d ON d.doc_id = q.doc_id, thr, dthr"
+    join_new = ("JOIN dupf d ON d.doc_id = q.doc_id\n"
+                "  JOIN canonnd nd ON nd.node = q.doc_id, thr, dthr")
+    fin_marker = "fin AS ("
+    assert (case_old in body and join_old in body
+            and fin_marker in body and body.startswith("\nWITH qt AS ("))
+    body = (body.replace("\nWITH qt AS (", "\nWITH RECURSIVE qt AS (", 1)
+            .replace(fin_marker, nd_ctes + fin_marker, 1)
+            .replace(case_old, case_new, 1)
+            .replace(join_old, join_new, 1))
+    d["corpus_curation_neardup"] = body + tailc
     return d
 
 
