@@ -1326,6 +1326,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round(F.col("n_kept") / F.col("n_docs"), 6)
                         .alias("keep_rate")))
 
+    def corpus_pipeline_spanclean(spark, sf):
+        # VERDICT r05 #4: the Lee et al. ordering — ExactSubstr span
+        # removal runs BETWEEN the verdict and chunking (real
+        # pipelines strip cross-doc verbatim runs BEFORE windowing so
+        # boilerplate never reaches a training bin): full web verdict
+        # -> keep survivors -> remove shared >= 8-token spans (df
+        # computed over the KEPT subset) -> 64-token disjoint chunks
+        # -> 500-token-budget packing; per-(bucket, bin) summary.
+        from ner_extractor_spark.operators.classifier import \
+            synthetic_weights
+        from ner_extractor_spark.operators.exact_substr import \
+            remove_exact_substrings
+        from ner_extractor_spark.operators.packing import (
+            chunk_documents as _chunk, pack_sequences)
+        from ner_extractor_spark.operators.web_verdict import \
+            full_web_verdict
+        d = _web_docs_with_urls(_docs(spark, sf))
+        verdict = full_web_verdict(
+            d, synthetic_weights(spark),
+            blocked_domains=("tracker.test", "spam.example"),
+            blocked_terms=("casino",))
+        kept = d.join(verdict.filter("keep").select("doc_id"), "doc_id")
+        cleaned = remove_exact_substrings(kept, n=8)
+        chunks = _chunk(cleaned, chunk_size=64).select(
+            F.concat_ws("#", "doc_id", "chunk_id").alias("chunk_uid"),
+            "chunk_text")
+        packed = pack_sequences(chunks, budget=500, n_buckets=16,
+                                id_col="chunk_uid",
+                                text_col="chunk_text")
+        return (packed.groupBy("bucket", "bin")
+                .agg(F.count(F.lit(1)).alias("n_chunks"),
+                     F.sum("n_tokens").alias("tok_sum")))
+
     def curation_calibrate_approx(spark, sf):
         # VERDICT r05 #1: the scale-safe approx_percentile calibration
         # mode, oracle-pinned — exact cuts (DuckDB quantile_cont twin)
@@ -1380,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed this round --------------------------------
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
+        "corpus_pipeline_spanclean": corpus_pipeline_spanclean,  # r06
         "text_winnow_matches": text_winnow_matches,   # new r05
         "decontam_overlap": decontam_overlap,         # new r05
         "chunk_documents": chunk_documents,           # new r05
@@ -4000,6 +4034,95 @@ SELECT CAST(bucket AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(n_tokens) AS BIGINT) AS tok_sum
 FROM ccum GROUP BY 1, 2"""
+
+    # corpus_pipeline_spanclean: verdict survivors -> ExactSubstr span
+    # removal over the KEPT subset (Lee et al. ordering: strip shared
+    # verbatim runs BEFORE windowing) -> 64-token chunks -> 500-budget
+    # packing; same chunk/pack idiom as corpus_training_pipeline with
+    # the cleaned text substituted
+    d["corpus_pipeline_spanclean"] = wv[: -len(tail2)] + f""",
+keptd AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN fin2 f ON f.doc_id = d.doc_id
+  WHERE f.reason = 'ok'
+),
+kdn AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS tl
+  FROM keptd
+),
+kpg AS (
+  SELECT doc_id, CAST(t.i - 1 AS INT) AS pos,
+         md5(array_to_string(tl[CAST(t.i AS INT):CAST(t.i + 7 AS INT)],
+                             ' ')) AS g
+  FROM kdn, unnest(generate_series(1, len(tl) - 7)) t(i)
+),
+khot AS (
+  SELECT g FROM kpg GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+kdup AS (SELECT doc_id, pos FROM kpg JOIN khot USING (g)),
+kruns AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM kdup
+),
+kspans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM kruns GROUP BY doc_id, grp
+),
+ktok AS (
+  SELECT doc_id, CAST(t.i - 1 AS INT) AS idx,
+         tl[CAST(t.i AS INT)] AS tok
+  FROM kdn, unnest(generate_series(1, len(tl))) t(i)
+),
+kclean0 AS (
+  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.idx) AS text
+  FROM ktok k
+  WHERE NOT EXISTS (SELECT 1 FROM kspans s
+                    WHERE s.doc_id = k.doc_id
+                      AND k.idx BETWEEN s.s AND s.e)
+  GROUP BY k.doc_id
+),
+kclean AS (
+  -- a doc whose every token sat in a flagged span survives with ''
+  SELECT d.doc_id, COALESCE(c.text, '') AS text
+  FROM keptd d LEFT JOIN kclean0 c USING (doc_id)
+),
+sdn AS (SELECT doc_id, string_split(text, ' ') AS tl FROM kclean),
+snc AS (
+  SELECT doc_id, tl,
+         1 + CAST(ceil(greatest(len(tl) - 64, 0) / 64.0) AS INT)
+           AS n_chunks
+  FROM sdn
+),
+scw AS (
+  SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+         tl[CAST(g.i * 64 + 1 AS INT):CAST(g.i * 64 + 64 AS INT)] AS ct
+  FROM snc, unnest(generate_series(0, n_chunks - 1)) g(i)
+),
+srow AS (
+  SELECT CAST(len(list_filter(ct, t -> t != '')) AS BIGINT) AS n_tokens,
+         md5('42|' || CAST(doc_id AS VARCHAR) || '#'
+             || CAST(chunk_id AS VARCHAR)) AS h
+  FROM scw
+),
+scb AS (
+  SELECT n_tokens, h, {_hex4_fold_sql("h")} % 16 AS bucket
+  FROM srow
+),
+sccum AS (
+  SELECT bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scb
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(floor((cum - n_tokens) / 500.0) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+FROM sccum GROUP BY 1, 2"""
 
     # curation_calibrate_approx: the exact cuts are the oracle-checked
     # values (identical quantile_cont chain); the approx-agreement
