@@ -1326,6 +1326,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round(F.col("n_kept") / F.col("n_docs"), 6)
                         .alias("keep_rate")))
 
+    def chunk_documents_bpe_q(spark, sf):
+        # VERDICT r05 #5: chunking budgeted in BPE tokens — the merge
+        # rules train on the corpus (6 deterministic rounds), the
+        # corpus encodes under them, and 32-BPE-token disjoint windows
+        # cut on the model's own token stream (</w> markers preserve
+        # the reconstruct-text invariant, pinned in test_packing)
+        from ner_extractor_spark.operators.bpe import train_bpe
+        from ner_extractor_spark.operators.packing import \
+            chunk_documents_bpe
+        d = _docs(spark, sf)
+        rules = [(r["left"], r["right"])
+                 for r in train_bpe(d, n_merges=6).collect()]
+        return chunk_documents_bpe(d, rules, chunk_size=32)
+
     def corpus_pipeline_spanclean(spark, sf):
         # VERDICT r05 #4: the Lee et al. ordering — ExactSubstr span
         # removal runs BETWEEN the verdict and chunking (real
@@ -1414,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
         "corpus_pipeline_spanclean": corpus_pipeline_spanclean,  # r06
+        "chunk_documents_bpe": chunk_documents_bpe_q,            # r06
         "text_winnow_matches": text_winnow_matches,   # new r05
         "decontam_overlap": decontam_overlap,         # new r05
         "chunk_documents": chunk_documents,           # new r05
@@ -4123,6 +4138,43 @@ SELECT CAST(bucket AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(n_tokens) AS BIGINT) AS tok_sum
 FROM sccum GROUP BY 1, 2"""
+
+    # chunk_documents_bpe: the round-6 BPE symbolization (the proven
+    # bpe_encode chain) -> per-doc token stream (ordered flatten) ->
+    # 32-BPE-token disjoint windows; array_to_string of an empty list
+    # is NULL in DuckDB, hence the COALESCE (Spark array_join -> '')
+    enc6 = _bpe_encode_oracle_sql(6)
+    tail_enc = ("SELECT d.doc_id, CAST(d.pos AS INT) AS pos, d.word,\n"
+                "       array_to_string(s.syms, ' ') AS encoded\n"
+                "FROM dtoks d JOIN s6 s ON s.word = d.word")
+    assert enc6.endswith(tail_enc)
+    d["chunk_documents_bpe"] = enc6[: -len(tail_enc)].rstrip() + """,
+bsq AS (
+  SELECT d.doc_id, d.pos, s.syms
+  FROM dtoks d JOIN s6 s ON s.word = d.word
+),
+bseq AS (
+  SELECT doc_id, flatten(list(syms ORDER BY pos)) AS toks
+  FROM bsq GROUP BY doc_id
+),
+ball AS (
+  SELECT d.doc_id, COALESCE(s.toks, CAST([] AS VARCHAR[])) AS toks
+  FROM documents d LEFT JOIN bseq s USING (doc_id)
+),
+bnc AS (
+  SELECT doc_id, toks,
+         1 + CAST(ceil(greatest(len(toks) - 32, 0) / 32.0) AS INT)
+           AS n_chunks
+  FROM ball
+),
+bcw AS (
+  SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+         toks[CAST(g.i * 32 + 1 AS INT):CAST(g.i * 32 + 32 AS INT)] AS ct
+  FROM bnc, unnest(generate_series(0, n_chunks - 1)) g(i)
+)
+SELECT doc_id, chunk_id, CAST(len(ct) AS INT) AS n_tokens,
+       COALESCE(array_to_string(ct, ' '), '') AS chunk_text
+FROM bcw"""
 
     # curation_calibrate_approx: the exact cuts are the oracle-checked
     # values (identical quantile_cont chain); the approx-agreement

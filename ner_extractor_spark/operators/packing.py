@@ -96,6 +96,23 @@ def pack_sequences(docs: DataFrame, budget: int, n_buckets: int = 16,
             .select("doc_id", "bucket", "bin", "n_tokens"))
 
 
+def _window_builder(chunk_size: int, stride: int):
+    """Sliding-window HOF over a token-array lambda variable/column:
+    tl -> array<struct<chunk_id, ct>> with 1 + ceil(max(n - chunk_size,
+    0) / stride) windows, each a ``slice`` of the bound array (no
+    re-tokenization per window)."""
+    def windows(tl):
+        n_chunks = (F.lit(1) + F.ceil(
+            F.greatest(F.size(tl) - chunk_size, F.lit(0))
+            / F.lit(stride)).cast("int"))
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.slice(tl, i * stride + 1, chunk_size).alias("ct")))
+    return windows
+
+
 def chunk_documents(docs: DataFrame, chunk_size: int = 128,
                     stride: int | None = None,
                     id_col: str = "doc_id",
@@ -127,18 +144,7 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 128,
     from .dedup import normalize_text
 
     toks = F.split(normalize_text(F.col(text_col)), " ")
-
-    def windows(tl):
-        # number of windows: 1 + ceil(max(n - chunk_size, 0) / stride)
-        n_chunks = (F.lit(1) + F.ceil(
-            F.greatest(F.size(tl) - chunk_size, F.lit(0))
-            / F.lit(stride)).cast("int"))
-        return F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.struct(
-                i.cast("int").alias("chunk_id"),
-                F.slice(tl, i * stride + 1, chunk_size).alias("ct")))
-
+    windows = _window_builder(chunk_size, stride)
     chunks = F.get(F.transform(F.array(toks), windows), 0)
     # n_tokens counts NON-EMPTY tokens (ADVICE r05): split('') yields
     # [''], so an empty/whitespace-only document is one chunk with
@@ -152,3 +158,60 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 128,
                   .alias("n_tokens"),
                   F.array_join("c.ct", " ").alias("chunk_text")))
     return ex
+
+
+def chunk_documents_bpe(docs: DataFrame, rules: list, chunk_size: int = 128,
+                        stride: int | None = None,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        vocab_join: str = "broadcast") -> DataFrame:
+    """``chunk_documents`` with windows budgeted in BPE TOKENS
+    (VERDICT r05 #5): pretraining sequence budgets count tokenizer
+    tokens, not whitespace words, so the chunk boundary must fall on
+    the model's own token stream.  ``rules`` is the learned merge-rule
+    list (``bpe.train_bpe`` collected rank order, the same artifact
+    ``bpe_encode`` consumes).
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text) where
+    ``chunk_text`` is the window's BPE symbols space-joined (word
+    boundaries carry the explicit ``</w>`` marker, so the original
+    normalized text reconstructs exactly from the disjoint-window
+    stream — pinned in tests/test_packing.py).  A window may split
+    mid-word (the standard pretraining convention); a wordless
+    document yields one empty chunk (n_tokens 0) — TOTAL over input.
+
+    Scale shape: ``bpe_encode`` does the vocabulary-sized merge folds
+    + one corpus map-side join (broadcast by default, ``vocab_join=
+    'shuffle'`` beyond the threshold); then ONE aggregation keyed on
+    the maximal-cardinality doc id rebuilds the per-document token
+    stream (array_sort over collected (pos, syms) structs — the
+    per-doc array is the same memory class as chunk_documents' token
+    array), and the windowing itself is the shared zero-shuffle HOF
+    flat map."""
+    if stride is None:
+        stride = chunk_size
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    from .bpe import bpe_encode
+
+    enc = bpe_encode(docs, rules, id_col=id_col, text_col=text_col,
+                     vocab_join=vocab_join)
+    seq = (enc.groupBy("doc_id")
+           .agg(F.flatten(F.transform(
+               F.array_sort(F.collect_list(
+                   F.struct(F.col("pos"),
+                            F.split("encoded", " ").alias("s")))),
+               lambda st: st["s"])).alias("toks")))
+    total = (docs.select(F.col(id_col).alias("doc_id"))
+             .join(seq, "doc_id", "left")
+             .withColumn("toks", F.coalesce(
+                 "toks", F.array().cast("array<string>"))))
+    windows = _window_builder(chunk_size, stride)
+    # BPE symbols are never empty strings, so size(ct) IS the token
+    # count (no phantom-token correction needed here)
+    return (total.select("doc_id",
+                         F.explode_outer(windows(F.col("toks")))
+                         .alias("c"))
+            .select("doc_id", F.col("c.chunk_id").alias("chunk_id"),
+                    F.size("c.ct").alias("n_tokens"),
+                    F.array_join("c.ct", " ").alias("chunk_text")))
