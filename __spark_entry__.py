@@ -1326,6 +1326,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round(F.col("n_kept") / F.col("n_docs"), 6)
                         .alias("keep_rate")))
 
+    def classifier_train(spark, sf):
+        # VERDICT r05 #6: the quality classifier TRAINED in-Spark —
+        # fixed-round distributed batch perceptron over integer hashed
+        # features (dyadic lr 1/1024 keeps every weight binary-exact,
+        # the bpe_train iterative-job discipline), labeled by the
+        # quality_filter verdict as the kept-vs-dropped proxy
+        from ner_extractor_spark.functions.text import quality_filter
+        from ner_extractor_spark.operators.classifier import \
+            train_perceptron
+        d = _docs(spark, sf)
+        keep, _ = quality_filter(F.col("text"))
+        lab = d.select("doc_id", keep.cast("int").alias("label"))
+        w = train_perceptron(d, lab, n_buckets=64, n_rounds=3)
+        return w.select("bucket", F.round("w", 6).alias("w"))
+
+    def classifier_trained_gate(spark, sf):
+        # the learned table CONSUMED: margin = sum(cnt * w) over each
+        # doc's integer features (bias at bucket -1), keep = margin
+        # >= 0 — exact dyadic end to end, one broadcast join + one
+        # doc-keyed aggregation
+        from ner_extractor_spark.functions.text import quality_filter
+        from ner_extractor_spark.operators.classifier import (
+            perceptron_scores, train_perceptron)
+        d = _docs(spark, sf)
+        keep, _ = quality_filter(F.col("text"))
+        lab = d.select("doc_id", keep.cast("int").alias("label"))
+        w = train_perceptron(d, lab, n_buckets=64, n_rounds=3)
+        return perceptron_scores(d, w, n_buckets=64)
+
     def chunk_documents_bpe_q(spark, sf):
         # VERDICT r05 #5: chunking budgeted in BPE tokens — the merge
         # rules train on the corpus (6 deterministic rounds), the
@@ -1429,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
         "corpus_pipeline_spanclean": corpus_pipeline_spanclean,  # r06
         "chunk_documents_bpe": chunk_documents_bpe_q,            # r06
+        "classifier_train": classifier_train,                    # r06
+        "classifier_trained_gate": classifier_trained_gate,      # r06
         "text_winnow_matches": text_winnow_matches,   # new r05
         "decontam_overlap": decontam_overlap,         # new r05
         "chunk_documents": chunk_documents,           # new r05
@@ -4138,6 +4169,66 @@ SELECT CAST(bucket AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(n_tokens) AS BIGINT) AS tok_sum
 FROM sccum GROUP BY 1, 2"""
+
+    # classifier_train / classifier_trained_gate: 3 unrolled batch-
+    # perceptron rounds over integer hashed features — every margin,
+    # gradient, and weight is a dyadic rational (counts, ±count sums,
+    # k/1024), so the k-round replica is bit-exact cross-engine; the
+    # quality_filter label proxy reuses corpus_curation's qt/qf/qr
+    lab_ctes = d["corpus_curation"][: d["corpus_curation"].index("hx AS (")]
+    fold8t = _hexn_fold_sql("md5(term)", 8)
+    perc_rounds = []
+    for r in range(1, 4):
+        perc_rounds.append(f"""pm{r} AS (
+  SELECT f.doc_id, sum(f.cnt * w.w) AS margin
+  FROM pfeat f JOIN pw{r - 1} w USING (bucket) GROUP BY f.doc_id
+),
+pg{r} AS (
+  SELECT f.bucket,
+         CAST(sum(CASE WHEN l.label = 1 THEN f.cnt ELSE -f.cnt END)
+              AS BIGINT) AS g
+  FROM pfeat f
+  JOIN pm{r} m ON m.doc_id = f.doc_id
+  JOIN plab l ON l.doc_id = f.doc_id
+  WHERE (m.margin >= 0) != (l.label = 1)
+  GROUP BY f.bucket
+),
+pw{r} AS (
+  SELECT w.bucket, w.w + COALESCE(g.g, 0) / 1024.0 AS w
+  FROM pw{r - 1} w LEFT JOIN pg{r} g USING (bucket)
+)""")
+    perc_base = lab_ctes + f"""plab AS (
+  SELECT doc_id, CASE WHEN q_reason = 'ok' THEN 1 ELSE 0 END AS label
+  FROM qr
+),
+pt AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                                          '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents)
+  WHERE t != ''
+),
+pfeat AS (
+  SELECT doc_id, CAST({fold8t} % 64 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM pt GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, -1, 1 FROM documents
+),
+pw0 AS (
+  SELECT CAST(i AS INT) AS bucket, CAST(0 AS DOUBLE) AS w
+  FROM (SELECT unnest(generate_series(-1, 63)) AS i)
+),
+""" + ",\n".join(perc_rounds)
+    d["classifier_train"] = (
+        perc_base + "\nSELECT bucket, round(w, 6) AS w FROM pw3")
+    d["classifier_trained_gate"] = perc_base + """,
+pmf AS (
+  SELECT f.doc_id, round(sum(f.cnt * w.w), 6) AS margin
+  FROM pfeat f JOIN pw3 w USING (bucket) GROUP BY f.doc_id
+)
+SELECT doc_id, margin, margin >= 0 AS keep FROM pmf"""
 
     # chunk_documents_bpe: the round-6 BPE symbolization (the proven
     # bpe_encode chain) -> per-doc token stream (ordered flatten) ->

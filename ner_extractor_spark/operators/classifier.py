@@ -93,6 +93,113 @@ def classify_docs(docs: DataFrame, weights: DataFrame,
                         (prob >= threshold).alias("keep"))
 
 
+def doc_features(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 n_buckets: int = 64) -> DataFrame:
+    """(doc_id, bucket, cnt): integer hashed-term count features plus a
+    constant bias feature at bucket -1 (cnt 1 for every document, even
+    zero-term ones) — the training-side twin of ``classify_docs``'s
+    feature map, kept INTEGER so the whole training loop stays exact
+    (see train_perceptron)."""
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " "))
+        .alias("term")).filter(F.col("term") != "")
+    feat = (toks.select("doc_id",
+                        term_bucket(F.col("term"), n_buckets).alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    bias = ids.select("doc_id", F.lit(-1).alias("bucket"),
+                      F.lit(1).cast("long").alias("cnt"))
+    return feat.unionByName(bias)
+
+
+def train_perceptron(docs: DataFrame, labels: DataFrame, *,
+                     n_buckets: int = 64, n_rounds: int = 3,
+                     lr_den: int = 1024,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Learn (bucket, w) classifier weights IN Spark (VERDICT r05 #6:
+    the synthetic weights are a stand-in; the fastText/FineWeb shape
+    needs learned ones) — a fixed-round distributed batch perceptron
+    over the integer hashed features, the deterministic-iterative-job
+    discipline of ``bpe_train``.
+
+    Why perceptron rather than logistic GD: every quantity stays a
+    DYADIC rational — features are integer counts, the per-round
+    gradient is an integer sum (±cnt over misclassified docs), and the
+    update is grad/``lr_den`` with a power-of-two denominator — so
+    every margin, gradient, and weight is binary-exact, summation-
+    order-independent, and bit-reproducible in the DuckDB oracle
+    (query ``classifier_train``; the k/1024 dyadic lesson of
+    ``synthetic_weights``).  A logistic sigmoid would make each round
+    transcendental and the k-round compounding engine-divergent.
+
+    Round r (classic batch perceptron, Rosenblatt; fastText's model
+    class is the same linear-over-hashed-features): margin_d =
+    Σ_b cnt_{d,b}·w_b (bias rides bucket -1); predict margin >= 0;
+    for misclassified docs accumulate g_b = Σ ±cnt_{d,b} (+ for
+    false-negatives, − for false-positives); w += g/lr_den.
+
+    ``labels`` is (doc_id, label) with label ∈ {0, 1} — e.g. the
+    quality_filter verdict as a labeled proxy (kept vs dropped).
+
+    Scale shape: the feature build is ONE corpus pass
+    (localCheckpoint-ed — consumed twice per round); each round is two
+    bounded aggregations — the margin agg keyed on the maximal-
+    cardinality doc id and the gradient agg keyed on ≤ n_buckets+1
+    buckets but map-side combined, so the gradient shuffle moves at
+    most n_partitions × n_buckets rows; weight state is n_buckets+1
+    rows, broadcast every round.  n_rounds is a hyperparameter, not
+    data-dependent — the driver loop runs a fixed, bounded number of
+    short jobs exactly like ``bpe_train`` / ``graph.pagerank``."""
+    spark = docs.sparkSession
+    feat = doc_features(docs, id_col, text_col,
+                        n_buckets).localCheckpoint()
+    lab = labels.select(F.col(id_col).alias("doc_id"),
+                        F.col("label").cast("int").alias("label"))
+    w = spark.range(-1, n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.lit(0.0).alias("w"))
+    for _ in range(n_rounds):
+        margins = (feat.join(F.broadcast(w), "bucket")
+                   .groupBy("doc_id")
+                   .agg(F.sum(F.col("cnt") * F.col("w")).alias("margin")))
+        signed = (F.when(F.col("label") == 1, F.col("cnt"))
+                  .otherwise(-F.col("cnt")))
+        grad = (feat.join(margins, "doc_id").join(lab, "doc_id")
+                .filter((F.col("margin") >= 0) != (F.col("label") == 1))
+                .groupBy("bucket")
+                .agg(F.sum(signed).alias("g")))
+        w = (w.join(grad, "bucket", "left")
+             .select("bucket",
+                     (F.col("w") + F.coalesce(F.col("g"), F.lit(0))
+                      / F.lit(float(lr_den))).alias("w"))
+             ).localCheckpoint()
+    return w
+
+
+def perceptron_scores(docs: DataFrame, weights: DataFrame, *,
+                      n_buckets: int = 64,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, margin, keep): the learned linear gate — margin =
+    Σ cnt_b·w_b over the document's integer hashed features (bias at
+    bucket -1), keep = margin >= 0.  Exact dyadic arithmetic end to
+    end (the weights are k/lr_den rationals), so the consuming query
+    is bit-reproducible cross-engine.  TOTAL over input: the bias
+    feature guarantees every document a row.  One broadcast join +
+    one doc-keyed aggregation."""
+    feat = doc_features(docs, id_col, text_col, n_buckets)
+    return (feat.join(F.broadcast(weights), "bucket")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("cnt") * F.col("w")), 6)
+                 .alias("margin"))
+            .select("doc_id", "margin",
+                    (F.col("margin") >= 0).alias("keep")))
+
+
 def calibrate_classifier_threshold(scored: DataFrame,
                                    keep_rate: float = 0.8,
                                    approx: bool = False,
