@@ -205,8 +205,74 @@ def scaling_run(cpus: str, sf_dir: str, replicate: int = 96,
     }
 
 
+def scaling_curation_run(cpus: str, sf_dir: str, replicate: int = 8,
+                         gate: bool = True) -> dict:
+    """The N-vs-4N leg for the DATA-PIPELINE flagship (VERDICT r05 #2:
+    the KG scaling job is deliberately exchange-free — this one has the
+    real shuffles): ``full_web_verdict`` in at-scale mode
+    (approx-percentile calibration) over the corpus replicated
+    ×``replicate``.  Exercises the trigram-model aggregation, the
+    shingle-df explode/join, the classifier explode + doc-keyed
+    aggregate, two calibration aggregates, and the final verdict
+    equi-joins.  Replica text gets a per-replica marker token so
+    exact-dedup does not degenerate to one keeper per group; doc ids
+    are disambiguated per replica.  No Python workers in this job —
+    the whole verdict is JVM expressions, so no warm-up phase."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from ner_extractor_spark.operators.classifier import synthetic_weights
+    from ner_extractor_spark.operators.web_verdict import full_web_verdict
+    from ner_extractor_spark.session import get_spark
+
+    if not 0 < replicate < 1000:
+        raise ValueError("curation replicate must be in (0, 1000) — "
+                         "doc ids are disambiguated as doc_id*1000+rep")
+    gate_ctx = _gate_idle() if gate else {"idle_gated": False,
+                                          "idle_pre": _idle_sample()}
+    load0 = _load_ctx()
+
+    spark = get_spark(
+        app_name=f"bench-curation-{cpus}", master=f"local[{cpus}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(2 * int(cpus))})
+    import tempfile
+    staged = tempfile.mkdtemp(prefix=f"curbench{cpus}_") + "/docs"
+    (E._docs(spark, sf_dir)
+     .repartition(64, "doc_id")
+     .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(replicate))))
+     .select((F.col("doc_id") * 1000 + F.col("rep")).alias("doc_id"),
+             F.concat("text", F.lit(" r"), F.col("rep")).alias("text"),
+             "lang", "source")
+     .write.parquet(staged))
+    docs = E._web_docs_with_urls(spark.read.parquet(staged))
+    n_docs = docs.count()
+
+    stat0 = _proc_stat()
+    t0 = time.perf_counter()
+    verdict = full_web_verdict(
+        docs, synthetic_weights(spark),
+        blocked_domains=("tracker.test", "spam.example"),
+        blocked_terms=("casino",), approx=True)
+    n_out = verdict.count()
+    dt = time.perf_counter() - t0
+    idle_during = _idle_between(stat0, _proc_stat())
+    spark.stop()
+    return {
+        "metric": "curation_pipeline_scaling",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "cpus": int(cpus),
+        "replicate": replicate,
+        "n_pages": n_docs,
+        "n_verdicts": n_out,
+        "pages_per_sec": round(n_docs / dt, 2),
+        "sf_dir": sf_dir,
+        "load": {**gate_ctx, **load0, "idle_during": idle_during},
+    }
+
+
 def pair_run(hi: int, lo: int, sf_dir: str, replicate: int,
-             strict: bool = False) -> dict:
+             strict: bool = False, job: str = "kg") -> dict:
     """One idle-gated scaling pair, WIDE LEG FIRST (BENCH.md §2
     protocol from r3-22): each leg is a fresh subprocess pinned with
     taskset, so legs never inherit a warm JVM.
@@ -221,10 +287,11 @@ def pair_run(hi: int, lo: int, sf_dir: str, replicate: int,
     leg's compute at its nominal budget — the true N-vs-4N
     comparison."""
     legs = {}
+    flag = {"kg": "--scaling", "curation": "--scaling-curation"}[job]
     for cpus in (hi, lo):
         top = cpus - 1 if strict else 2 * cpus - 1
         cmd = ["taskset", "-c", f"0-{top}", sys.executable,
-               __file__, "--scaling", "--cpus", str(cpus),
+               __file__, flag, "--cpus", str(cpus),
                "--replicate", str(replicate)]
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         out = subprocess.run(cmd, capture_output=True, text=True, env=env)
@@ -238,7 +305,7 @@ def pair_run(hi: int, lo: int, sf_dir: str, replicate: int,
         legs[cpus] = json.loads(line)
     speedup = legs[hi]["pages_per_sec"] / legs[lo]["pages_per_sec"]
     eff = speedup / (hi / lo)
-    return {"metric": "kg_pipeline_scaling_pair", "hi": legs[hi],
+    return {"metric": f"{job}_pipeline_scaling_pair", "hi": legs[hi],
             "lo": legs[lo], "efficiency": round(eff, 3),
             "unit": "ratio"}
 
@@ -258,8 +325,12 @@ def main():
     # r04 probe measured 0.982 efficiency at this length vs ~0.85 short
     if "--long" in sys.argv:
         replicate = 1536
+    if "--curation" in sys.argv or "--scaling-curation" in sys.argv:
+        replicate = 8   # the verdict job is ~40x heavier per doc than
+        # the map-only KG job; 8 replicas ≈ the same wide-leg wall
     if "--replicate" in sys.argv:
         replicate = int(sys.argv[sys.argv.index("--replicate") + 1])
+    job = "curation" if "--curation" in sys.argv else "kg"
     if "--pair" in sys.argv:
         i = sys.argv.index("--pair")
         hi, lo = int(sys.argv[i + 1]), int(sys.argv[i + 2])
@@ -267,17 +338,22 @@ def main():
         if "--pairs" in sys.argv:
             n_pairs = int(sys.argv[sys.argv.index("--pairs") + 1])
         results = [pair_run(hi, lo, sf_dir, replicate,
-                            strict="--strict" in sys.argv)
+                            strict="--strict" in sys.argv, job=job)
                    for _ in range(n_pairs)]
         if n_pairs == 1:
             print(json.dumps(results[0]))
         else:
             effs = sorted(r["efficiency"] for r in results)
             print(json.dumps({
-                "metric": "kg_pipeline_scaling_pairs",
+                "metric": f"{job}_pipeline_scaling_pairs",
                 "median_efficiency": effs[len(effs) // 2],
                 "efficiencies": [r["efficiency"] for r in results],
                 "pairs": results, "unit": "ratio"}))
+        return
+    if "--scaling-curation" in sys.argv:
+        print(json.dumps(scaling_curation_run(
+            cpus, sf_dir, replicate=replicate,
+            gate="--no-gate" not in sys.argv)))
         return
     if "--scaling" in sys.argv:
         print(json.dumps(scaling_run(
