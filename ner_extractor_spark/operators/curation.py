@@ -245,7 +245,19 @@ def calibrated_curation(docs: DataFrame, *, id_col: str = "doc_id",
     lm, dup = curation_scores(docs, id_col=id_col, text_col=text_col,
                               lm_join=lm_join)
     if checkpoint:
-        lm, dup = lm.localCheckpoint(), dup.localCheckpoint()
+        # materialize the two INDEPENDENT score pipelines CONCURRENTLY
+        # (r06): localCheckpoint is a blocking job, and running the
+        # trigram-LM pass and the shingle-df pass back-to-back leaves
+        # the cluster idle through each one's stragglers/barrier —
+        # measured 84% wide-leg core utilization on the strict scaling
+        # pairs.  Two driver threads submit both jobs; the scheduler
+        # interleaves their stages and fills the idle gaps.  Results
+        # are identical (each job is deterministic and independent).
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(2) as pool:
+            f_lm = pool.submit(lm.localCheckpoint)
+            f_dup = pool.submit(dup.localCheckpoint)
+            lm, dup = f_lm.result(), f_dup.result()
     thr = calibrate_thresholds(scores=(lm, dup),
                                lm_quantile=lm_quantile,
                                dup_quantile=dup_quantile,
