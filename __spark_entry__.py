@@ -1326,6 +1326,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round(F.col("n_kept") / F.col("n_docs"), 6)
                         .alias("keep_rate")))
 
+    def web_verdict_learned(spark, sf):
+        # the learned gate COMPOSED into the flagship (VERDICT r05 #6
+        # closing move): the perceptron trains on the quality proxy,
+        # and its margin gate replaces the synthetic-weight scorer as
+        # the verdict's classifier_low rule (full_web_verdict's
+        # pluggable cls_keep table) — train -> gate -> verdict in one
+        # contract query
+        from ner_extractor_spark.functions.text import quality_filter
+        from ner_extractor_spark.operators.classifier import (
+            perceptron_scores, synthetic_weights, train_perceptron)
+        from ner_extractor_spark.operators.web_verdict import \
+            full_web_verdict
+        d = _web_docs_with_urls(_docs(spark, sf))
+        keep, _ = quality_filter(F.col("text"))
+        lab = d.select("doc_id", keep.cast("int").alias("label"))
+        w = train_perceptron(d, lab, n_buckets=64, n_rounds=3)
+        gate = perceptron_scores(d, w, n_buckets=64).select(
+            "doc_id", F.col("keep").alias("cls_keep"))
+        return full_web_verdict(
+            d, synthetic_weights(spark),
+            blocked_domains=("tracker.test", "spam.example"),
+            blocked_terms=("casino",), cls_keep=gate)
+
     def classifier_train(spark, sf):
         # VERDICT r05 #6: the quality classifier TRAINED in-Spark —
         # fixed-round distributed batch perceptron over integer hashed
@@ -1460,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_bpe": chunk_documents_bpe_q,            # r06
         "classifier_train": classifier_train,                    # r06
         "classifier_trained_gate": classifier_trained_gate,      # r06
+        "web_verdict_learned": web_verdict_learned,              # r06
         "text_winnow_matches": text_winnow_matches,   # new r05
         "decontam_overlap": decontam_overlap,         # new r05
         "chunk_documents": chunk_documents,           # new r05
@@ -4229,6 +4253,33 @@ pmf AS (
   FROM pfeat f JOIN pw3 w USING (bucket) GROUP BY f.doc_id
 )
 SELECT doc_id, margin, margin >= 0 AS keep FROM pmf"""
+
+    # web_verdict_learned: the verdict with the TRAINED gate — the
+    # corpus_curation fin chain + the url-gate CTEs (sliced from the
+    # web_corpus_verdict stitch) + the perceptron rounds; the
+    # classifier_low rule fires on a negative learned margin
+    i_uf = wv.index(",\nuf AS (")
+    i_ct = wv.index(",\nctoks AS (")
+    ufug = wv[i_uf:i_ct]
+    perc_chain = perc_base[len(lab_ctes):]
+    d["web_verdict_learned"] = (
+        d["corpus_curation"][: -len(
+            "SELECT doc_id, reason = 'ok' AS keep, reason FROM fin")]
+        + ufug + ",\n" + perc_chain + """,
+pmf2 AS (
+  SELECT f.doc_id, sum(f.cnt * w.w) AS margin
+  FROM pfeat f JOIN pw3 w USING (bucket) GROUP BY f.doc_id
+),
+finl AS (
+  SELECT f.doc_id,
+         CASE WHEN u.domb THEN 'blocked_domain'
+              WHEN u.termb THEN 'blocked_term'
+              WHEN f.reason != 'ok' THEN f.reason
+              WHEN NOT (m.margin >= 0) THEN 'classifier_low'
+              ELSE 'ok' END AS reason
+  FROM fin f JOIN ug u USING (doc_id) JOIN pmf2 m USING (doc_id)
+)
+SELECT doc_id, reason = 'ok' AS keep, reason FROM finl""")
 
     # chunk_documents_bpe: the round-6 BPE symbolization (the proven
     # bpe_encode chain) -> per-doc token stream (ordered flatten) ->

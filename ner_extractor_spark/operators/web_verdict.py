@@ -47,7 +47,8 @@ def full_web_verdict(docs: DataFrame, weights: DataFrame, *,
                      lm_join: str = "broadcast",
                      approx: bool = False,
                      accuracy: int = 10000,
-                     near: DataFrame | bool = False) -> DataFrame:
+                     near: DataFrame | bool = False,
+                     cls_keep: DataFrame | None = None) -> DataFrame:
     """(id_col, keep, reason) — one first-violation verdict row per
     input document.
 
@@ -65,7 +66,14 @@ def full_web_verdict(docs: DataFrame, weights: DataFrame, *,
     calibration quantile to mergeable ``approx_percentile`` state (the
     at-scale mode — exact is the oracle-parity default);
     ``near=True`` (or a precomputed (id, nd_keeper) table) inserts the
-    MinHash near-duplicate rule into the curation chain."""
+    MinHash near-duplicate rule into the curation chain.
+
+    ``cls_keep`` makes the classifier gate PLUGGABLE (r06): pass any
+    (id_col, cls_keep boolean) table — e.g. ``perceptron_scores`` over
+    weights learned by ``train_perceptron`` — and the 'classifier_low'
+    rule fires on ``NOT cls_keep`` instead of the built-in hashed
+    linear scorer's ``prob < cls_threshold``.  The gate table must be
+    TOTAL over the input (both built-ins are)."""
     if (dup_threshold is None) != (lm_threshold is None):
         raise ValueError("pass both scalar thresholds (frozen mode) "
                          "or neither (corpus-local calibration)")
@@ -97,13 +105,19 @@ def full_web_verdict(docs: DataFrame, weights: DataFrame, *,
                             lm_threshold=lm_threshold,
                             lm_join=lm_join, near=near)
     cur = cur.select(id_col, F.col("reason").alias("_cr"))
-    cls = (classify_docs(docs, weights, id_col=id_col, text_col=text_col)
-           .select(F.col("doc_id").alias(id_col), "prob"))
+    if cls_keep is not None:
+        cls = cls_keep.select(F.col(id_col), F.col("cls_keep"))
+        cls_fail = ~F.col("cls_keep")
+    else:
+        cls = (classify_docs(docs, weights, id_col=id_col,
+                             text_col=text_col)
+               .select(F.col("doc_id").alias(id_col), "prob"))
+        cls_fail = F.col("prob") < cls_threshold
     j = gates.join(cur, id_col).join(cls, id_col)
     reason = (F.when(F.col("_domb"), F.lit("blocked_domain"))
               .when(F.col("_termb"), F.lit("blocked_term"))
               .when(F.col("_cr") != "ok", F.col("_cr"))
-              .when(F.col("prob") < cls_threshold, F.lit("classifier_low"))
+              .when(cls_fail, F.lit("classifier_low"))
               .otherwise(F.lit("ok")))
     return j.select(id_col, (reason == "ok").alias("keep"),
                     reason.alias("reason"))
