@@ -73,6 +73,11 @@ HEADLINE = [
     "decontam_overlap",    # r05: eval-set contamination semi-join
     "dedup_exact_spans",   # r05: ExactSubstr span-level dedup
     "corpus_training_pipeline",  # r05: verdict -> chunk -> pack, one plan
+    "corpus_curation_neardup",   # r06: + MinHash near-dup rule
+    "corpus_pipeline_spanclean",  # r06: verdict -> span-dedup -> chunk -> pack
+    "chunk_documents_bpe",       # r06: BPE-token-budgeted windows
+    "classifier_trained_gate",   # r06: perceptron train + learned gate
+    "web_verdict_learned",       # r06: full verdict with the trained gate
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
