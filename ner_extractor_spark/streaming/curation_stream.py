@@ -79,7 +79,12 @@ def run_web_verdict_stream(docs_stream: DataFrame, weights: DataFrame,
                            blocked_terms: tuple[str, ...] = (),
                            cls_threshold: float = 0.5,
                            dup_threshold: float | None = None,
-                           lm_threshold: float | None = None) -> None:
+                           lm_threshold: float | None = None,
+                           lm_join: str = "broadcast",
+                           approx: bool = False,
+                           near: bool = False,
+                           perceptron_weights: DataFrame | None = None,
+                           ) -> None:
     """The FULL web verdict — url gates → curation chain → classifier
     — per micro-batch (VERDICT r04 #7: the batch-only
     ``web_corpus_verdict`` composition, now streaming).
@@ -93,21 +98,46 @@ def run_web_verdict_stream(docs_stream: DataFrame, weights: DataFrame,
     batch-side DataFrame (the classifier model — bounded by
     n_buckets, broadcast inside ``classify_docs``).  Batch/stream
     parity and replay idempotence pinned in
-    tests/test_curation_stream.py."""
+    tests/test_curation_stream.py.
+
+    r06 knobs, mirroring the batch operator: ``lm_join`` /
+    ``approx`` (the at-scale quantile mode — only meaningful with
+    batch-local calibration) / ``near`` (per-batch MinHash
+    near-duplicate rule — cross-batch near-dups are upstream stream
+    dedup's job, same division of labor as exact dups);
+    ``perceptron_weights`` is the TRAINED frozen gate (train offline
+    with ``train_perceptron``, freeze the (bucket, w) table, gate
+    every batch through ``perceptron_scores`` — the learned twin of
+    the frozen-threshold posture)."""
     from ..operators.web_verdict import full_web_verdict
     if (dup_threshold is None) != (lm_threshold is None):
         raise ValueError("pass both thresholds (frozen mode) or neither "
                          "(batch-local calibration)")
+    # the frozen gate's feature width derives from the weight table
+    # ONCE (bucket -1 is the bias row), not per micro-batch
+    n_b = (perceptron_weights.count() - 1
+           if perceptron_weights is not None else 0)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()
         if batch_df.isEmpty():
             return
+        gate = None
+        if perceptron_weights is not None:
+            from pyspark.sql import functions as F
+
+            from ..operators.classifier import perceptron_scores
+            gate = perceptron_scores(
+                batch_df, perceptron_weights, n_buckets=n_b,
+                id_col=id_col, text_col=text_col).select(
+                F.col("doc_id").alias(id_col),
+                F.col("keep").alias("cls_keep"))
         verdict = full_web_verdict(
             batch_df, weights, url_col=url_col, id_col=id_col,
             text_col=text_col, blocked_domains=blocked_domains,
             blocked_terms=blocked_terms, cls_threshold=cls_threshold,
-            dup_threshold=dup_threshold, lm_threshold=lm_threshold)
+            dup_threshold=dup_threshold, lm_threshold=lm_threshold,
+            lm_join=lm_join, approx=approx, near=near, cls_keep=gate)
         (verdict.write.mode("overwrite")
          .parquet(f"{out_dir}/verdicts/batch_id={batch_id}"))
 

@@ -156,3 +156,47 @@ def test_web_verdict_stream_matches_batch_composition(spark, tmp_path):
     assert sorted(map(tuple,
                       spark.read.parquet(f"{out}/verdicts").collect())) \
         == expected
+
+
+def test_web_verdict_stream_frozen_learned_gate(spark, tmp_path):
+    """r06: the TRAINED frozen gate in streaming — perceptron weights
+    learned offline, each micro-batch gated through perceptron_scores;
+    parity vs the batch composition with the same cls_keep table."""
+    from pyspark.sql import functions as F
+
+    from ner_extractor_spark.functions.text import quality_filter
+    from ner_extractor_spark.operators.classifier import (
+        perceptron_scores, synthetic_weights, train_perceptron)
+    from ner_extractor_spark.operators.web_verdict import full_web_verdict
+    from ner_extractor_spark.streaming.curation_stream import \
+        run_web_verdict_stream
+
+    docs = _web_docs(spark)
+    # offline training on the full corpus (the freeze-then-stream
+    # posture), quality proxy labels
+    keep, _ = quality_filter(F.col("text"))
+    lab = docs.select("doc_id", keep.cast("int").alias("label"))
+    pw = train_perceptron(docs, lab, n_buckets=64,
+                          n_rounds=3).localCheckpoint()
+    w = synthetic_weights(spark)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    docs.repartition(2).write.parquet(src)
+
+    kw = dict(blocked_domains=("tracker.test",), blocked_terms=("casino",),
+              dup_threshold=0.9, lm_threshold=-8.0)
+    run_web_verdict_stream(_read_stream(spark, src, docs.schema), w,
+                           out, str(tmp_path / "ckpt"),
+                           perceptron_weights=pw, **kw)
+
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    assert verdicts.count() == 30
+    for bid in [r["batch_id"] for r in
+                verdicts.select("batch_id").distinct().collect()]:
+        part = verdicts.filter(f"batch_id = {bid}").drop("batch_id")
+        ids = [r["doc_id"] for r in part.select("doc_id").collect()]
+        subset = docs.filter(docs.doc_id.isin(ids))
+        gate = perceptron_scores(subset, pw, n_buckets=64).select(
+            "doc_id", F.col("keep").alias("cls_keep"))
+        want = full_web_verdict(subset, w, cls_keep=gate, **kw)
+        assert sorted(map(tuple, part.collect())) == \
+            sorted(map(tuple, want.collect()))
