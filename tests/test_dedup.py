@@ -312,3 +312,29 @@ def test_winnow_matches_counts_shared_fingerprints(spark):
     got = winnow_matches(docs).collect()
     assert len(got) == 1
     assert got[0]["n_shared"] == want
+
+
+def test_minhash_agg_form_equals_hof_signature(spark):
+    """r06: minhash_lsh_pairs' aggregate-form signature (min() over the
+    exploded shingle table) is value-identical to the HOF array form
+    (minhash_sig_from) — same min over the same md5(k|shingle) set."""
+    from pyspark.sql import functions as F
+
+    from ner_extractor_spark.operators.dedup import (minhash_sig_from,
+                                                     word_shingles)
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox leaps over the lazy dog"),
+         (3, "completely different text about markets and trade")],
+        "doc_id int, text string")
+    hof = {r["doc_id"]: list(r["sig"]) for r in d.select(
+        "doc_id", minhash_sig_from(word_shingles(F.col("text")), 12)
+        .alias("sig")).collect()}
+    sh = d.select("doc_id", F.explode(word_shingles(F.col("text")))
+                  .alias("shingle"))
+    agg = {r["doc_id"]: [r[f"h{k}"] for k in range(12)]
+           for r in sh.groupBy("doc_id").agg(*[
+               F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle"))))
+               .alias(f"h{k}") for k in range(12)]).collect()}
+    assert hof == agg
