@@ -211,7 +211,8 @@ def scaling_run(cpus: str, sf_dir: str, replicate: int = 96,
 
 
 def scaling_curation_run(cpus: str, sf_dir: str, replicate: int = 8,
-                         gate: bool = True) -> dict:
+                         gate: bool = True,
+                         training: bool = False) -> dict:
     """The N-vs-4N leg for the DATA-PIPELINE flagship (VERDICT r05 #2:
     the KG scaling job is deliberately exchange-free — this one has the
     real shuffles): ``full_web_verdict`` in at-scale mode
@@ -258,12 +259,29 @@ def scaling_curation_run(cpus: str, sf_dir: str, replicate: int = 8,
         docs, synthetic_weights(spark),
         blocked_domains=("tracker.test", "spam.example"),
         blocked_terms=("casino",), approx=True)
-    n_out = verdict.count()
+    if training:
+        # the LITERAL flagship: verdict -> 64-token chunks -> 500-token
+        # packing (adds the zero-shuffle chunk flat map and the
+        # per-md5-bucket packing windows on top of the verdict)
+        from ner_extractor_spark.operators.packing import (
+            chunk_documents, pack_sequences)
+        kept = docs.join(verdict.filter("keep").select("doc_id"),
+                         "doc_id")
+        chunks = chunk_documents(kept, chunk_size=64).select(
+            F.concat_ws("#", "doc_id", "chunk_id").alias("chunk_uid"),
+            "chunk_text")
+        packed = pack_sequences(chunks, budget=500, n_buckets=16,
+                                id_col="chunk_uid",
+                                text_col="chunk_text")
+        n_out = packed.groupBy("bucket", "bin").count().count()
+    else:
+        n_out = verdict.count()
     dt = time.perf_counter() - t0
     idle_during = _idle_between(stat0, _proc_stat())
     spark.stop()
     return {
-        "metric": "curation_pipeline_scaling",
+        "metric": ("training_pipeline_scaling" if training
+                   else "curation_pipeline_scaling"),
         "value": round(dt, 3),
         "unit": "sec",
         "cpus": int(cpus),
@@ -292,7 +310,8 @@ def pair_run(hi: int, lo: int, sf_dir: str, replicate: int,
     leg's compute at its nominal budget — the true N-vs-4N
     comparison."""
     legs = {}
-    flag = {"kg": "--scaling", "curation": "--scaling-curation"}[job]
+    flag = {"kg": "--scaling", "curation": "--scaling-curation",
+            "training": "--scaling-training"}[job]
     for cpus in (hi, lo):
         top = cpus - 1 if strict else 2 * cpus - 1
         cmd = ["taskset", "-c", f"0-{top}", sys.executable,
@@ -330,12 +349,14 @@ def main():
     # r04 probe measured 0.982 efficiency at this length vs ~0.85 short
     if "--long" in sys.argv:
         replicate = 1536
-    if "--curation" in sys.argv or "--scaling-curation" in sys.argv:
+    if any(f in sys.argv for f in ("--curation", "--scaling-curation",
+                                   "--training", "--scaling-training")):
         replicate = 8   # the verdict job is ~40x heavier per doc than
         # the map-only KG job; 8 replicas ≈ the same wide-leg wall
     if "--replicate" in sys.argv:
         replicate = int(sys.argv[sys.argv.index("--replicate") + 1])
-    job = "curation" if "--curation" in sys.argv else "kg"
+    job = ("training" if "--training" in sys.argv
+           else "curation" if "--curation" in sys.argv else "kg")
     if "--pair" in sys.argv:
         i = sys.argv.index("--pair")
         hi, lo = int(sys.argv[i + 1]), int(sys.argv[i + 2])
@@ -355,10 +376,11 @@ def main():
                 "efficiencies": [r["efficiency"] for r in results],
                 "pairs": results, "unit": "ratio"}))
         return
-    if "--scaling-curation" in sys.argv:
+    if "--scaling-curation" in sys.argv or "--scaling-training" in sys.argv:
         print(json.dumps(scaling_curation_run(
             cpus, sf_dir, replicate=replicate,
-            gate="--no-gate" not in sys.argv)))
+            gate="--no-gate" not in sys.argv,
+            training="--scaling-training" in sys.argv)))
         return
     if "--scaling" in sys.argv:
         print(json.dumps(scaling_run(
