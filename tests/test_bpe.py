@@ -115,3 +115,21 @@ def test_bpe_encode_vocab_join_modes(spark):
     sh = bpe_encode(docs, rules, vocab_join="shuffle")
     assert sorted(map(tuple, bc.collect())) == \
         sorted(map(tuple, sh.collect()))
+
+
+def test_bpe_encode_fused_chunks_match_per_rule_barriers(spark):
+    """r06: the fuse-chunked lazy merge chain is value-identical to
+    one-barrier-per-rule (fuse=1), including across a chunk boundary
+    (fuse smaller than the rule count)."""
+    from ner_extractor_spark.operators.bpe import bpe_encode, train_bpe
+
+    d = spark.createDataFrame(
+        [(1, "low lower lowest low low slow slower"),
+         (2, "new newer newest new knew")],
+        "doc_id int, text string")
+    rules = [(r["left"], r["right"])
+             for r in train_bpe(d, n_merges=5).collect()]
+    full = sorted(map(tuple, bpe_encode(d, rules, fuse=8).collect()))
+    per_rule = sorted(map(tuple, bpe_encode(d, rules, fuse=1).collect()))
+    split = sorted(map(tuple, bpe_encode(d, rules, fuse=2).collect()))
+    assert full == per_rule == split
