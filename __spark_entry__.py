@@ -1326,6 +1326,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round(F.col("n_kept") / F.col("n_docs"), 6)
                         .alias("keep_rate")))
 
+    def mixture_temperature_weights(spark, sf):
+        # temperature-scaled mixture weights (mT5/Pile): sampling
+        # share p_g ∝ sqrt(n_g) (alpha=0.5 — IEEE-exact cross-engine),
+        # keep fraction renormalized to the corpus budget, capped at 1
+        from ner_extractor_spark.operators.packing import \
+            temperature_weights
+        return temperature_weights(_docs(spark, sf))
+
+    def sample_mixture_temperature(spark, sf):
+        # the composed sampler: temperature weights -> per-(source,
+        # md5-bucket) quota streams at half-corpus budget
+        from ner_extractor_spark.operators.packing import \
+            temperature_mixture
+        return temperature_mixture(_docs(spark, sf),
+                                   budget_frac=0.5).select(
+            "doc_id", "source")
+
     def web_verdict_learned(spark, sf):
         # the learned gate COMPOSED into the flagship (VERDICT r05 #6
         # closing move): the perceptron trains on the quality proxy,
@@ -1484,6 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_train": classifier_train,                    # r06
         "classifier_trained_gate": classifier_trained_gate,      # r06
         "web_verdict_learned": web_verdict_learned,              # r06
+        "mixture_temperature_weights": mixture_temperature_weights,  # r06
+        "sample_mixture_temperature": sample_mixture_temperature,    # r06
         "text_winnow_matches": text_winnow_matches,   # new r05
         "decontam_overlap": decontam_overlap,         # new r05
         "chunk_documents": chunk_documents,           # new r05
@@ -4193,6 +4212,43 @@ SELECT CAST(bucket AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(n_tokens) AS BIGINT) AS tok_sum
 FROM sccum GROUP BY 1, 2"""
+
+    # temperature mixing: alpha=0.5 -> sqrt (IEEE-correctly-rounded,
+    # bit-stable cross-engine, unlike generic pow); weights round to 6
+    d["mixture_temperature_weights"] = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+z AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z,
+             CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT source, CAST(n AS BIGINT) AS n,
+       round(least(CAST(1.0 AS DOUBLE),
+                   total * sqrt(CAST(n AS DOUBLE)) / z / n), 6) AS weight
+FROM c, z"""
+
+    d["sample_mixture_temperature"] = f"""
+WITH h AS (
+  SELECT doc_id, source, md5('42|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+),
+b AS (SELECT doc_id, source, hh, {_hex4_fold_sql("hh")} % 16 AS bkt FROM h),
+cb AS (SELECT source, bkt, count(*) AS nb FROM b GROUP BY source, bkt),
+sc AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+z AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z,
+             CAST(sum(n) AS BIGINT) AS total FROM sc),
+w AS (
+  SELECT source,
+         round(least(CAST(1.0 AS DOUBLE),
+                     0.5 * total * sqrt(CAST(n AS DOUBLE)) / z / n), 6)
+           AS frac
+  FROM sc, z
+),
+r AS (
+  SELECT doc_id, source, bkt,
+         row_number() OVER (PARTITION BY source, bkt ORDER BY hh) AS rk
+  FROM b
+)
+SELECT r.doc_id, r.source
+FROM r JOIN cb USING (source, bkt) JOIN w USING (source)
+WHERE rk <= floor(frac * nb)"""
 
     # classifier_train / classifier_trained_gate: 3 unrolled batch-
     # perceptron rounds over integer hashed features — every margin,

@@ -60,6 +60,53 @@ def mixture_sample(df: DataFrame, weights: Dict[str, float],
             .drop("_h", "_b", "_rk", "_quota"))
 
 
+def temperature_weights(df: DataFrame, group: str = "source",
+                        alpha: float = 0.5,
+                        budget_frac: float = 1.0) -> DataFrame:
+    """(group, n, weight): temperature-scaled mixture keep-fractions —
+    the mT5 / Pile sampling recipe: a source's sampling share is
+    p_g ∝ n_g^alpha (alpha < 1 upweights small sources relative to
+    their size; alpha = 1 is proportional, alpha = 0 uniform), and the
+    keep fraction renormalizes the shares to a total budget of
+    ``budget_frac`` × N documents:
+
+        weight_g = min(1, budget_frac · N · p_g / n_g)
+
+    (capped at 1 — sampling cannot upweight beyond taking everything;
+    true upsampling is an epoch-repeat concern, not a sampling one).
+    Feed the result to ``mixture_sample`` — ``temperature_mixture``
+    composes the two.
+
+    Scale shape: one map-side-combined group count (group cardinality
+    ≪ corpus) + a 1-row normalizer broadcast.  Engine-portable at
+    alpha = 0.5: sqrt is IEEE-correctly-rounded (unlike generic pow),
+    so the oracle twin is bit-stable; weights round to 6."""
+    counts = df.groupBy(group).agg(F.count(F.lit(1)).alias("n"))
+    norm = counts.agg(
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(alpha))).alias("z"),
+        F.sum("n").alias("total"))
+    share = F.pow(F.col("n").cast("double"), F.lit(alpha)) / F.col("z")
+    w = F.least(F.lit(1.0),
+                F.lit(budget_frac) * F.col("total") * share / F.col("n"))
+    return (counts.crossJoin(F.broadcast(norm))
+            .select(group, "n", F.round(w, 6).alias("weight")))
+
+
+def temperature_mixture(df: DataFrame, group: str = "source",
+                        alpha: float = 0.5, budget_frac: float = 1.0,
+                        key: str = "doc_id", seed: int = 42,
+                        n_buckets: int = 16) -> DataFrame:
+    """``mixture_sample`` under ``temperature_weights`` — the one-call
+    temperature-mixing operator.  The weight table collects to a dict
+    first (BOUNDED driver collect: one row per source — the
+    splits/bpe collect discipline)."""
+    w = {r[group]: r["weight"]
+         for r in temperature_weights(df, group=group, alpha=alpha,
+                                      budget_frac=budget_frac).collect()}
+    return mixture_sample(df, w, key=key, group=group, seed=seed,
+                          n_buckets=n_buckets)
+
+
 def pack_sequences(docs: DataFrame, budget: int, n_buckets: int = 16,
                    id_col: str = "doc_id", text_col: str = "text",
                    seed: int = 42) -> DataFrame:

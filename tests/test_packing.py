@@ -213,3 +213,57 @@ def test_chunk_bpe_reconstructs_text_and_budgets_bpe_tokens(spark):
         assert rebuilt == " ".join(text.lower().split()), doc_id
     # TOTAL over input: the wordless doc yields one empty chunk
     assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 0
+
+
+def test_temperature_weights_semantics(spark):
+    """alpha=1 -> proportional shares (every weight = budget_frac);
+    alpha=0 -> uniform shares (small sources capped at 1 first);
+    alpha=0.5 upweights the small source relative to its size."""
+    from ner_extractor_spark.operators.packing import temperature_weights
+
+    rows = [(i, "big") for i in range(90)] + \
+           [(100 + i, "small") for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id int, source string")
+
+    w1 = {r["source"]: r["weight"]
+          for r in temperature_weights(d, alpha=1.0,
+                                       budget_frac=0.5).collect()}
+    assert w1 == {"big": 0.5, "small": 0.5}
+
+    w0 = {r["source"]: r["weight"]
+          for r in temperature_weights(d, alpha=0.0,
+                                       budget_frac=0.5).collect()}
+    # uniform shares: each source gets 25 docs of budget 50 ->
+    # small (10 docs) caps at 1.0, big keeps 25/90
+    assert w0["small"] == 1.0
+    assert abs(w0["big"] - 25 / 90) < 1e-6
+
+    wh = {r["source"]: r["weight"]
+          for r in temperature_weights(d, alpha=0.5,
+                                       budget_frac=0.5).collect()}
+    assert wh["small"] > wh["big"]
+
+
+def test_temperature_mixture_respects_quotas(spark):
+    """The composed sampler keeps floor(weight * n_{g,b}) per stream —
+    totals land within n_buckets of weight * n_g, deterministic."""
+    from ner_extractor_spark.operators.packing import (
+        temperature_mixture, temperature_weights)
+
+    rows = [(i, f"doc {i} text", "big") for i in range(80)] + \
+           [(100 + i, f"doc {i} words", "small") for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    w = {r["source"]: r["weight"]
+         for r in temperature_weights(d, budget_frac=0.5).collect()}
+    out = temperature_mixture(d, budget_frac=0.5)
+    got = {g: n for g, n in
+           out.groupBy("source").count().collect()}
+    import math
+    for g, n_g in (("big", 80), ("small", 20)):
+        assert got.get(g, 0) <= math.floor(w[g] * n_g)
+        assert got.get(g, 0) >= math.floor(w[g] * n_g) - 16
+    # determinism
+    again = {g: n for g, n in
+             temperature_mixture(d, budget_frac=0.5)
+             .groupBy("source").count().collect()}
+    assert got == again
