@@ -55,7 +55,8 @@ def exact_substring_spans(docs: DataFrame, n: int = 8, *,
                           min_df: int = 2,
                           id_col: str = "doc_id",
                           text_col: str = "text",
-                          checkpoint: bool = True) -> DataFrame:
+                          checkpoint: bool = True,
+                          stage_dir: str | None = None) -> DataFrame:
     """(doc_id, start, end, n_tokens): maximal token spans [start, end]
     (0-based, inclusive) whose every ``n``-gram occurs in >= ``min_df``
     documents — i.e. verbatim content of length >= n shared across the
@@ -72,16 +73,22 @@ def exact_substring_spans(docs: DataFrame, n: int = 8, *,
     sized for.  The default ``checkpoint=True`` localCheckpoint is
     right at sandbox scale (it stops the explode re-running for the
     two consumers: df profile + join-back); for beyond-memory corpora
-    either (a) replace it with a persisted parquet stage
-    (``plans/checkpoints.write_stage`` feeding both consumers — the
-    same durable-barrier swap ``winnow_matches`` documents for its
-    exploded fingerprint table), or (b) pass ``checkpoint=False`` and
-    accept the explode running twice — the gram table is then never
-    materialized anywhere, and both passes are embarrassingly
-    parallel map work.
+    either (a) pass ``stage_dir=`` — the gram table is then persisted
+    as a parquet stage (``plans/checkpoints.write_stage``: durable,
+    resumable, never resident in executor storage) and both consumers
+    read the files, the same durable-barrier swap ``winnow_matches``
+    documents for its exploded fingerprint table — or (b) pass
+    ``checkpoint=False`` and accept the explode running twice: the
+    gram table is then never materialized anywhere, and both passes
+    are embarrassingly parallel map work.
     """
     grams = _positional_grams(docs, n, id_col, text_col)
-    if checkpoint:
+    if stage_dir is not None:
+        from ner_extractor_spark.plans.checkpoints import (StageManifest,
+                                                           write_stage)
+        grams = write_stage(StageManifest(stage_dir), "positional_grams",
+                            grams)
+    elif checkpoint:
         # two consumers (df profile + join-back) — one barrier, the
         # winnow_matches discipline; see the docstring for the
         # durable-stage / no-barrier alternatives at corpus scale

@@ -98,3 +98,22 @@ def test_spans_split_on_a_single_unique_token(spark):
     got = sorted((r["doc_id"], r["start"], r["end"])
                  for r in exact_substring_spans(d, n=8).collect())
     assert got == [(1, 0, 7), (1, 9, 16), (2, 0, 7), (2, 9, 16)]
+
+
+def test_stage_dir_durable_barrier_matches_localcheckpoint(spark, tmp_path):
+    """r06 (VERDICT r05 #2): the persisted-parquet gram barrier is
+    result-identical to the localCheckpoint form, and the stage table
+    lands on disk with a manifest entry (durable, resumable)."""
+    from ner_extractor_spark.operators.exact_substr import \
+        exact_substring_spans
+
+    rows = [(1, "a b c d e f g h i j unique one"),
+            (2, "x y a b c d e f g h i j z"),
+            (3, "totally different words here only")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    via_ckpt = sorted(map(tuple, exact_substring_spans(d, n=8).collect()))
+    stage = str(tmp_path / "grams_stage")
+    via_stage = sorted(map(tuple, exact_substring_spans(
+        d, n=8, stage_dir=stage).collect()))
+    assert via_ckpt == via_stage and via_ckpt
+    assert (tmp_path / "grams_stage" / "_manifest.json").exists()
