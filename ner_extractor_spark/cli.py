@@ -74,7 +74,47 @@ def main(argv=None):
                          "(default: documented scalar defaults)")
     cu.add_argument("--dup-threshold", type=float, default=0.9)
     cu.add_argument("--lm-threshold", type=float, default=-8.0)
+    asm = sub.add_parser(
+        "assemble",
+        help="run the STAGED training-data assembly plan (verdict -> "
+             "span clean -> chunk -> pack), resumable from --workdir")
+    asm.add_argument("--docs", required=True,
+                     help="documents parquet (doc_id, url, text, ...)")
+    asm.add_argument("--workdir", required=True,
+                     help="stage-manifest dir (resume = rerun with the "
+                          "same dir)")
+    asm.add_argument("--chunk-size", type=int, default=64)
+    asm.add_argument("--budget", type=int, default=500)
+    asm.add_argument("--no-span-dedup", action="store_true")
+    asm.add_argument("--near", action="store_true",
+                     help="add the MinHash near-duplicate rule")
+    asm.add_argument("--blocked-domain", action="append", default=[])
+    asm.add_argument("--blocked-term", action="append", default=[])
     args = p.parse_args(argv)
+
+    if args.cmd == "assemble":
+        from ner_extractor_spark.operators.classifier import \
+            synthetic_weights
+        from ner_extractor_spark.plans.curation_pipeline import \
+            run_curation_pipeline
+        from ner_extractor_spark.session import get_spark
+        spark = get_spark(app_name="assemble")
+        docs = spark.read.parquet(args.docs)
+        res = run_curation_pipeline(
+            spark, docs, synthetic_weights(spark), args.workdir,
+            blocked_domains=tuple(args.blocked_domain),
+            blocked_terms=tuple(args.blocked_term),
+            span_dedup=not args.no_span_dedup, near=args.near,
+            chunk_size=args.chunk_size, budget=args.budget)
+        print(json.dumps({
+            "docs": res.verdict.count(),
+            "kept": res.verdict.filter("keep").count(),
+            "chunks": res.chunks.count(),
+            "bins": res.packed.select("bucket", "bin").distinct().count(),
+            "workdir": args.workdir,
+        }))
+        spark.stop()
+        return
 
     if args.cmd == "curate":
         from ner_extractor_spark.operators.curation import (

@@ -70,15 +70,19 @@ def write_stage(manifest: StageManifest, stage: str, df: DataFrame,
     # stranded _retired_* partition is hidden from parquet readers, so
     # an unrecovered resume would silently read a partial table
     recover_stage(manifest, stage)
+    # read-backs carry the writer's schema explicitly: an EMPTY stage
+    # (e.g. a verdict that dropped every document) writes a directory
+    # with no part files, where schema inference fails — the stage
+    # table must still exist and read back as 0 rows, not error
     if manifest.done(stage):
-        return spark.read.parquet(out)
+        return spark.read.schema(df.schema).parquet(out)
 
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(out)
 
-    persisted = spark.read.parquet(out)
+    persisted = spark.read.schema(df.schema).parquet(out)
     lineage = (
         persisted.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(F.count(F.lit(1)).alias("row_count"))

@@ -107,3 +107,22 @@ def test_pipeline_learned_gate_plugs_in(spark, tmp_path):
         spark, d, _weights(spark), str(tmp_path / "cp"),
         chunk_size=8, budget=20, cls_keep=gate)
     assert r.verdict.count() == 40
+
+
+def test_pipeline_survives_empty_stages(spark, tmp_path):
+    """A corpus where the verdict drops EVERYTHING still produces
+    readable (0-row) stage tables and resumes cleanly — an empty
+    parquet stage has no part files, so the read-back must carry the
+    writer's schema (regression: UNABLE_TO_INFER_SCHEMA)."""
+    rows = [(i, f"https://ok.test/d/{i}", "zz")   # all too_short
+            for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id int, url string, text string")
+    wd = str(tmp_path / "cp")
+    r1 = run_curation_pipeline(spark, d, _weights(spark), wd,
+                               chunk_size=8, budget=20)
+    assert r1.verdict.count() == 6 and r1.packed.count() == 0
+    # resume over the empty stages
+    r2 = run_curation_pipeline(spark, d, _weights(spark), wd,
+                               chunk_size=8, budget=20)
+    assert r2.packed.count() == 0
+    assert r2.chunks.columns == r1.chunks.columns
