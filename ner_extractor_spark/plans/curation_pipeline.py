@@ -79,6 +79,11 @@ def run_curation_pipeline(
     (chunk_uid, bucket, bin, n_tokens; bucket-partitioned so
     per-bin training readers prune partitions — the Iceberg partition
     spec at production scale)."""
+    if (blocked_domains or blocked_terms) and url_col not in docs.columns:
+        raise ValueError(
+            f"url blocklists need a {url_col!r} column on the input; "
+            "drop --blocked-domain/--blocked-term for url-less corpora "
+            "(the quality/dedup/LM/classifier rules still run)")
     man = StageManifest(work_dir)
 
     verdict = write_stage(
