@@ -1326,6 +1326,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round(F.col("n_kept") / F.col("n_docs"), 6)
                         .alias("keep_rate")))
 
+    def ppl_by_lang_approx(spark, sf):
+        # VERDICT r05 #1, GROUPED case — where the exact percentile's
+        # single-buffer bound bites hardest (a web corpus' dominant
+        # language group is corpus-sized): per-language exact CCNet
+        # cuts (oracle-pinned) + booleans asserting the approx cuts
+        # agree within 0.01 (measured worst delta at sf0.01: 0.0011,
+        # min group 64 docs).  One score pass feeds both modes.
+        from ner_extractor_spark.functions.quantiles import quantile_agg
+        from ner_extractor_spark.operators.lm import (trigram_logprob,
+                                                      trigram_model)
+        d = _docs(spark, sf)
+        lm = (trigram_logprob(d, trigram_model(d))
+              .join(d.select("doc_id", "lang"), "doc_id")
+              .localCheckpoint())
+
+        def cuts(approx):
+            return lm.groupBy("lang").agg(
+                F.round(quantile_agg("lm_score", 1 / 3, approx), 6)
+                .alias("lo"),
+                F.round(quantile_agg("lm_score", 2 / 3, approx), 6)
+                .alias("hi"))
+
+        ap = cuts(True).select("lang", F.col("lo").alias("lo_a"),
+                               F.col("hi").alias("hi_a"))
+        tol = 0.01
+        return (cuts(False).join(ap, "lang")
+                .select("lang", F.col("lo").alias("lo_cut"),
+                        F.col("hi").alias("hi_cut"),
+                        (F.abs(F.col("lo_a") - F.col("lo")) <= tol)
+                        .alias("lo_agree"),
+                        (F.abs(F.col("hi_a") - F.col("hi")) <= tol)
+                        .alias("hi_agree")))
+
     def mixture_temperature_weights(spark, sf):
         # temperature-scaled mixture weights (mT5/Pile): sampling
         # share p_g ∝ sqrt(n_g) (alpha=0.5 — IEEE-exact cross-engine),
@@ -1501,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_train": classifier_train,                    # r06
         "classifier_trained_gate": classifier_trained_gate,      # r06
         "web_verdict_learned": web_verdict_learned,              # r06
+        "ppl_by_lang_approx": ppl_by_lang_approx,                # r06
         "mixture_temperature_weights": mixture_temperature_weights,  # r06
         "sample_mixture_temperature": sample_mixture_temperature,    # r06
         "text_winnow_matches": text_winnow_matches,   # new r05
@@ -4212,6 +4246,37 @@ SELECT CAST(bucket AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(n_tokens) AS BIGINT) AS tok_sum
 FROM sccum GROUP BY 1, 2"""
+
+    # ppl_by_lang_approx: per-language exact cuts via grouped
+    # quantile_cont; approx agreement is the Spark-side invariant
+    d["ppl_by_lang_approx"] = r"""
+WITH nt AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, substring(t, i, 3) AS tri
+  FROM nt, unnest(generate_series(1, greatest(len(t) - 2, 1))) g(i)
+),
+model AS (SELECT tri, count(*) AS c FROM tris GROUP BY tri),
+norm AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                count(*) AS n_distinct FROM model),
+lm AS (
+  SELECT d.doc_id,
+         round(avg(ln((coalesce(m.c, 0) + 1.0)
+                      / (norm.n_total + norm.n_distinct))), 6) AS lm_score
+  FROM tris d LEFT JOIN model m USING (tri), norm
+  GROUP BY d.doc_id
+),
+lml AS (
+  SELECT l.doc_id, l.lm_score, d.lang
+  FROM lm l JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       round(quantile_cont(lm_score, 1.0/3.0), 6) AS lo_cut,
+       round(quantile_cont(lm_score, 2.0/3.0), 6) AS hi_cut,
+       TRUE AS lo_agree, TRUE AS hi_agree
+FROM lml GROUP BY lang"""
 
     # temperature mixing: alpha=0.5 -> sqrt (IEEE-correctly-rounded,
     # bit-stable cross-engine, unlike generic pow); weights round to 6
