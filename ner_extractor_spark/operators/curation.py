@@ -197,8 +197,13 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     if near is True:
         near = near_dup_keepers(docs, id_col=id_col, text_col=text_col)
     if near is not False and near is not None:
-        joined = joined.join(near.select(id_col, "nd_keeper"), id_col)
-        nd_hit = F.col(id_col) != F.col("nd_keeper")
+        # LEFT join: near_dup_keepers is total over the input, but a
+        # user-supplied cluster table may only list clustered docs —
+        # absent ids are singletons (keep themselves), never dropped
+        joined = joined.join(near.select(id_col, "nd_keeper"),
+                             id_col, "left")
+        nd_hit = (F.col("nd_keeper").isNotNull()
+                  & (F.col(id_col) != F.col("nd_keeper")))
     else:
         nd_hit = F.lit(False)
     if thresholds is not None:

@@ -319,3 +319,16 @@ def test_near_rule_off_by_default_matches_prior_contract(spark):
     off = sorted(map(tuple, curate_corpus(_df(spark),
                                           near=False).collect()))
     assert base == off
+
+
+def test_near_rule_partial_cluster_table_keeps_singletons(spark):
+    """A user-supplied near table listing only clustered docs must not
+    drop the absent (singleton) documents — left-join semantics."""
+    d = _df(spark)
+    partial = spark.createDataFrame([(6, 1)], "doc_id int, nd_keeper int")
+    got = {r["doc_id"]: r["reason"]
+           for r in curate_corpus(d, near=partial,
+                                  dup_threshold=1.01).collect()}
+    assert len(got) == len(DOCS)          # nothing vanished
+    assert got[6] == "near_duplicate"
+    assert got[1] == "ok" and got[2] == "ok"
