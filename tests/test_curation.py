@@ -332,3 +332,41 @@ def test_near_rule_partial_cluster_table_keeps_singletons(spark):
     assert len(got) == len(DOCS)          # nothing vanished
     assert got[6] == "near_duplicate"
     assert got[1] == "ok" and got[2] == "ok"
+
+
+def test_verdict_total_over_adversarial_texts(spark):
+    """Robustness battery: the full verdict chain (and chunk+pack
+    downstream) is TOTAL and crash-free over hostile inputs — unicode,
+    emoji, RTL, control chars, a single enormous token, repeated
+    whitespace, and NULL text."""
+    from ner_extractor_spark.operators.classifier import synthetic_weights
+    from ner_extractor_spark.operators.packing import (chunk_documents,
+                                                       pack_sequences)
+    from ner_extractor_spark.operators.web_verdict import full_web_verdict
+
+    rows = [
+        (1, "https://ok.test/a", "普通话 的 文本 与 空格 分词 在 这里"),
+        (2, "https://ok.test/b", "🎉🎊 emoji 🚀 tokens 🌍 here 🎈 now"),
+        (3, "https://ok.test/c", "نص عربي من اليمين إلى اليسار هنا"),
+        (4, "https://ok.test/d", "ctrl\x00chars\x01and\ttabs\nnewlines"),
+        (5, "https://ok.test/e", "x" * 5000),
+        (6, "https://ok.test/f", "   \t\n   "),
+        (7, "https://ok.test/g", None),
+        (8, "https://ok.test/h", "the ordinary control document is "
+                                 "here with a few more words"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, url string, text string")
+    d = d.fillna({"text": ""})
+    v = full_web_verdict(d, synthetic_weights(spark),
+                         dup_threshold=0.9, lm_threshold=-8.0)
+    got = {r["doc_id"]: r["reason"] for r in v.collect()}
+    assert len(got) == 8                       # total — nothing vanished
+    assert got[6] == "too_short" and got[7] == "too_short"
+    assert got[5] in ("tokens_too_long", "too_short")  # one huge token
+    # the survivors flow through chunk + pack without error
+    kept = d.join(v.filter("keep").select("doc_id"), "doc_id")
+    chunks = chunk_documents(kept, chunk_size=4)
+    packed = pack_sequences(chunks.select(
+        F.concat_ws("#", "doc_id", "chunk_id").alias("doc_id"),
+        F.col("chunk_text").alias("text")), budget=10)
+    assert packed.count() == chunks.count()
