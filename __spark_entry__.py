@@ -4383,9 +4383,10 @@ SELECT doc_id, margin, margin >= 0 AS keep FROM pmf"""
     i_ct = wv.index(",\nctoks AS (")
     ufug = wv[i_uf:i_ct]
     perc_chain = perc_base[len(lab_ctes):]
+    _cur_tail = "SELECT doc_id, reason = 'ok' AS keep, reason FROM fin"
+    assert d["corpus_curation"].endswith(_cur_tail)
     d["web_verdict_learned"] = (
-        d["corpus_curation"][: -len(
-            "SELECT doc_id, reason = 'ok' AS keep, reason FROM fin")]
+        d["corpus_curation"][: -len(_cur_tail)]
         + ufug + ",\n" + perc_chain + """,
 pmf2 AS (
   SELECT f.doc_id, sum(f.cnt * w.w) AS margin
