@@ -1510,6 +1510,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             calibrated_curation
         return calibrated_curation(_docs(spark, sf), near=True)
 
+    def kg_transe(spark, sf):
+        # r06: KG-embedding training IN Spark — deterministic
+        # TransE-L1 (Bordes et al. 2013) over the engine's own
+        # (positive, corrupted) pairs from kg_negative_samples; L1
+        # sign-vector subgradients + dyadic lr 1/1024 + exact clip
+        # keep every round bit-replayable (the train_perceptron /
+        # bpe_train iterative-job discipline), so the unrolled DuckDB
+        # rounds match raw-double exactly
+        from ner_extractor_spark.operators.kg_embed import (
+            transe_pairs, transe_train)
+        from ner_extractor_spark.operators.kg_quality import \
+            negative_samples
+        p = transe_pairs(negative_samples(_triples_df(spark, sf), k=2))
+        emb = transe_train(p, dim=4, n_rounds=2)
+        return emb.select("kind", "id", "i",
+                          F.round("v", 6).alias("v"))
+
+    def kg_transe_eval(spark, sf):
+        # the learned embeddings CONSUMED: per-relation energy
+        # separation (d_pos < d_neg — the ranking link prediction
+        # needs), exact dyadic comparison, weighted by multiplicity
+        from ner_extractor_spark.operators.kg_embed import (
+            transe_eval, transe_pairs, transe_train)
+        from ner_extractor_spark.operators.kg_quality import \
+            negative_samples
+        p = transe_pairs(negative_samples(_triples_df(spark, sf), k=2))
+        emb = transe_train(p, dim=4, n_rounds=2)
+        return transe_eval(p, emb)
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1527,6 +1556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # class, after the alphabetical key.)
     return _rotate_contract({
         # -- new / changed this round --------------------------------
+        "kg_transe": kg_transe,                                  # r06
+        "kg_transe_eval": kg_transe_eval,                        # r06
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
         "corpus_pipeline_spanclean": corpus_pipeline_spanclean,  # r06
@@ -2097,6 +2128,81 @@ pr{t} AS MATERIALIZED (
     FROM edges e JOIN pr{t - 1} r ON r.node = e.src
                  JOIN podeg o ON o.src = e.src
     GROUP BY e.dst) c ON c.node = np.node
+)""")
+    return "".join(parts)
+
+
+def _transe_sql(n_rounds: int = 2, dim: int = 4) -> str:
+    """Unrolled deterministic TransE-L1 (mirrors
+    operators/kg_embed.transe_train round for round — every quantity
+    dyadic, see that module's docstring).  Requires the
+    ``kg_negative_samples`` oracle's ``neg`` CTE in scope; emits
+    ``temb{n_rounds}`` as the final embedding table."""
+    def init(kind: str, src: str) -> str:
+        h = _hexn_fold_sql(
+            f"md5('te|{kind}|' || id || '|' || CAST(d.i AS VARCHAR))", 8)
+        return (f"SELECT '{kind}' AS kind, id, d.i,\n"
+                f"         ({h} % 2048 - 1024) / 1024.0 AS v\n"
+                f"  FROM {src} CROSS JOIN tdims d")
+
+    parts = [f""",
+tprs AS MATERIALIZED (
+  SELECT subj_surface AS h, pred AS r, obj_surface AS t,
+         neg_obj_surface AS tn, CAST(count(*) AS BIGINT) AS w
+  FROM neg WHERE neg_obj_surface != obj_surface
+  GROUP BY 1, 2, 3, 4
+),
+tdims AS (SELECT CAST(g.i AS INT) AS i
+          FROM unnest(generate_series(0, {dim - 1})) g(i)),
+tents AS (SELECT DISTINCT id FROM (
+  SELECT h AS id FROM tprs UNION ALL SELECT t FROM tprs
+  UNION ALL SELECT tn FROM tprs)),
+trels AS (SELECT DISTINCT r AS id FROM tprs),
+temb0 AS MATERIALIZED (
+  {init('e', 'tents')}
+  UNION ALL
+  {init('r', 'trels')}
+)"""]
+    grad_src = ("FROM tpd{k} pd JOIN tpv{k} v USING (h, r, t, tn)\n"
+                "    WHERE 1.0 + v.dp - v.dn > 0")
+    for k in range(n_rounds):
+        gs = grad_src.format(k=k)
+        parts.append(f""",
+tpd{k} AS MATERIALIZED (
+  SELECT p.h, p.r, p.t, p.tn, p.w, d.i,
+         eh.v + er.v - et.v AS gp, eh.v + er.v - etn.v AS gn
+  FROM tprs p CROSS JOIN tdims d
+  JOIN temb{k} eh ON eh.kind = 'e' AND eh.id = p.h AND eh.i = d.i
+  JOIN temb{k} er ON er.kind = 'r' AND er.id = p.r AND er.i = d.i
+  JOIN temb{k} et ON et.kind = 'e' AND et.id = p.t AND et.i = d.i
+  JOIN temb{k} etn ON etn.kind = 'e' AND etn.id = p.tn AND etn.i = d.i
+),
+tpv{k} AS MATERIALIZED (
+  SELECT h, r, t, tn, sum(abs(gp)) AS dp, sum(abs(gn)) AS dn
+  FROM tpd{k} GROUP BY 1, 2, 3, 4
+),
+tgr{k} AS (
+  SELECT kind, id, i, sum(delta * w) AS g FROM (
+    SELECT 'e' AS kind, pd.h AS id, pd.i,
+           sign(pd.gp) - sign(pd.gn) AS delta, pd.w AS w
+    {gs}
+    UNION ALL
+    SELECT 'r', pd.r, pd.i, sign(pd.gp) - sign(pd.gn), pd.w
+    {gs}
+    UNION ALL
+    SELECT 'e', pd.t, pd.i, -sign(pd.gp), pd.w
+    {gs}
+    UNION ALL
+    SELECT 'e', pd.tn, pd.i, sign(pd.gn), pd.w
+    {gs}
+  ) GROUP BY 1, 2, 3
+),
+temb{k + 1} AS MATERIALIZED (
+  SELECT e.kind, e.id, e.i,
+         greatest(-2.0, least(2.0,
+             e.v - coalesce(g.g, 0) / 1024.0)) AS v
+  FROM temb{k} e LEFT JOIN tgr{k} g
+    ON g.kind = e.kind AND g.id = e.id AND g.i = e.i
 )""")
     return "".join(parts)
 
@@ -4368,6 +4474,36 @@ pw0 AS (
 """ + ",\n".join(perc_rounds)
     d["classifier_train"] = (
         perc_base + "\nSELECT bucket, round(w, 6) AS w FROM pw3")
+
+    # kg_transe / kg_transe_eval: the negative-samples chain (its neg
+    # CTE is the corruption-pair table TransE trains on) + the
+    # unrolled dyadic TransE rounds (_transe_sql); eval re-derives the
+    # pair energies against the final embedding table
+    negq = d["kg_negative_samples"]
+    neg_tail = "SELECT * FROM neg WHERE neg_obj_surface != obj_surface"
+    assert negq.endswith(neg_tail)
+    transe_base = negq[: -len(neg_tail)].rstrip() + _transe_sql(2, 4)
+    d["kg_transe"] = (transe_base
+                      + "\nSELECT kind, id, i, round(v, 6) AS v FROM temb2")
+    d["kg_transe_eval"] = transe_base + """,
+tpdE AS MATERIALIZED (
+  SELECT p.h, p.r, p.t, p.tn, p.w, d.i,
+         eh.v + er.v - et.v AS gp, eh.v + er.v - etn.v AS gn
+  FROM tprs p CROSS JOIN tdims d
+  JOIN temb2 eh ON eh.kind = 'e' AND eh.id = p.h AND eh.i = d.i
+  JOIN temb2 er ON er.kind = 'r' AND er.id = p.r AND er.i = d.i
+  JOIN temb2 et ON et.kind = 'e' AND et.id = p.t AND et.i = d.i
+  JOIN temb2 etn ON etn.kind = 'e' AND etn.id = p.tn AND etn.i = d.i
+),
+tpvE AS (
+  SELECT h, r, t, tn, w, sum(abs(gp)) AS dp, sum(abs(gn)) AS dn
+  FROM tpdE GROUP BY 1, 2, 3, 4, 5
+)
+SELECT r AS pred, CAST(sum(w) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN dp < dn THEN w ELSE 0 END) AS BIGINT) AS n_sep,
+       round(sum(CASE WHEN dp < dn THEN w ELSE 0 END) / sum(w), 6)
+         AS sep_rate
+FROM tpvE GROUP BY r"""
     d["classifier_trained_gate"] = perc_base + """,
 pmf AS (
   SELECT f.doc_id, round(sum(f.cnt * w.w), 6) AS margin
