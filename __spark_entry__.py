@@ -1539,6 +1539,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = transe_train(p, dim=4, n_rounds=2)
         return transe_eval(p, emb)
 
+    def warc_roundtrip(spark, sf):
+        # r06: the WARC source made real — pages synthesized into
+        # multi-record WARC/1.0 file blobs (spec CRLF framing + the
+        # encapsulated HTTP response, JVM expressions only), then the
+        # Arrow-batched parser walks the framing back out.  The
+        # oracle recomputes every header field + payload md5 from the
+        # documents table independently, so one mis-sliced offset or
+        # miscounted Content-Length fails the hash
+        from ner_extractor_spark.sources.warc import (
+            parse_warc_records, synth_warc_files)
+        files = synth_warc_files(_pages(spark, sf), n_files=8)
+        return (parse_warc_records(files)
+                .select("url", "http_status", "mime", "content_length",
+                        F.md5("payload").alias("payload_md5"),
+                        "warc_date", "file_id"))
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1558,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed this round --------------------------------
         "kg_transe": kg_transe,                                  # r06
         "kg_transe_eval": kg_transe_eval,                        # r06
+        "warc_roundtrip": warc_roundtrip,                        # r06
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
         "corpus_pipeline_spanclean": corpus_pipeline_spanclean,  # r06
@@ -4485,6 +4502,33 @@ pw0 AS (
     transe_base = negq[: -len(neg_tail)].rstrip() + _transe_sql(2, 4)
     d["kg_transe"] = (transe_base
                       + "\nSELECT kind, id, i, round(v, 6) AS v FROM temb2")
+    # warc_roundtrip: every field recomputed from documents — the
+    # framing arithmetic (fixed HTTP head = 77 ASCII bytes +
+    # len(str(L)) + L payload octets) mirrors sources/warc.
+    # warc_record_expr; the parser must recover it from the bytes
+    d["warc_roundtrip"] = f"""
+WITH {PAGES_SQL},
+wp AS (
+  SELECT url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT))
+           AS warc_ts,
+         '<html><body><p>' || text || '</p></body></html>' AS html
+  FROM pages
+),
+wr AS (
+  SELECT CAST({_hexn_fold_sql("md5(url)", 8)} % 8 AS BIGINT) AS file_id,
+         url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+         octet_length(encode(html)) AS pl, md5(html) AS payload_md5
+  FROM wp
+)
+SELECT url, CAST(200 AS INT) AS http_status,
+       'text/html; charset=utf-8' AS mime,
+       CAST(77 + length(CAST(pl AS VARCHAR)) + pl AS BIGINT)
+         AS content_length,
+       payload_md5, warc_date, file_id
+FROM wr"""
+
     d["kg_transe_eval"] = transe_base + """,
 tpdE AS MATERIALIZED (
   SELECT p.h, p.r, p.t, p.tn, p.w, d.i,
