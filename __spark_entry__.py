@@ -1555,6 +1555,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.md5("payload").alias("payload_md5"),
                         "warc_date", "file_id"))
 
+    def kg_fact_resolution(spark, sf):
+        # r06: truth discovery over the provenance rollup — the Web
+        # states conflicting facts, the KG keeps one per functional
+        # (subj, pred): weighted vote (sources > mentions > earliest
+        # capture > obj) as ONE min(struct) aggregation, no window;
+        # support_share is the confidence datum consumers threshold on
+        from ner_extractor_spark.operators.kg_quality import (
+            resolve_facts, triple_provenance)
+        return resolve_facts(triple_provenance(
+            _triples_df(spark, sf), _pages(spark, sf)))
+
+    def web_robots_filter(spark, sf):
+        # r06: crawl-politeness gating — RFC 9309 longest-match rules
+        # (broadcast per-host directive table; longer prefix wins, tie
+        # goes to allow, no rule means allowed) over the synthetic web
+        # urls; exercises disallow-all, allow-carve-back under a
+        # disallowed subtree, and the equal-length tie
+        from ner_extractor_spark.operators.webfilter import robots_filter
+        rules = [
+            ("ads.tracker.test", "/", False),
+            ("sub.spam.example", "/doc", False),
+            ("sub.spam.example", "/doc/5", True),
+            ("src1.test", "/doc/1", False),
+            ("src1.test", "/doc/12", True),
+            ("src2.test", "/doc", True),
+            ("src2.test", "/doc", False),
+        ]
+        return robots_filter(_web_docs_with_urls(_docs(spark, sf)), rules)
+
     def set_ops(spark, sf):
         d = _docs(spark, sf)
         en = d.filter("lang = 'en'").select("doc_id")
@@ -1575,6 +1604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe": kg_transe,                                  # r06
         "kg_transe_eval": kg_transe_eval,                        # r06
         "warc_roundtrip": warc_roundtrip,                        # r06
+        "kg_fact_resolution": kg_fact_resolution,                # r06
+        "web_robots_filter": web_robots_filter,                  # r06
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
         "corpus_pipeline_spanclean": corpus_pipeline_spanclean,  # r06
@@ -4502,6 +4533,90 @@ pw0 AS (
     transe_base = negq[: -len(neg_tail)].rstrip() + _transe_sql(2, 4)
     d["kg_transe"] = (transe_base
                       + "\nSELECT kind, id, i, round(v, 6) AS v FROM temb2")
+    # kg_fact_resolution: the provenance rollup + a deterministic
+    # weighted-vote window (the Spark side is the windowless
+    # min(struct) twin of this ORDER BY)
+    d["kg_fact_resolution"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+pts AS (
+  SELECT url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT))
+           AS warc_ts
+  FROM pages
+),
+prov AS (
+  SELECT t.subj_surface AS subj, t.pred, t.obj_surface AS obj,
+         CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(count(DISTINCT t.url) AS BIGINT) AS n_sources,
+         min(p.warc_ts) AS first_seen
+  FROM tri t JOIN pts p USING (url)
+  GROUP BY 1, 2, 3
+),
+frk AS (
+  SELECT subj, pred, obj, n_sources, n_mentions,
+         row_number() OVER (PARTITION BY subj, pred
+           ORDER BY n_sources DESC, n_mentions DESC, first_seen ASC,
+                    obj ASC) AS rn,
+         sum(n_mentions) OVER (PARTITION BY subj, pred) AS total,
+         count(*) OVER (PARTITION BY subj, pred) AS n_alts
+  FROM prov
+)
+SELECT subj, pred, obj, n_sources, n_mentions,
+       CAST(n_alts AS BIGINT) AS n_alternatives,
+       round(n_mentions / total, 6) AS support_share
+FROM frk WHERE rn = 1"""
+
+    # web_robots_filter: the uf url synthesis + host/path regex
+    # replicas + RFC 9309 longest-match via an explicit window order
+    d["web_robots_filter"] = r"""
+WITH uf AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN 'https://ads.tracker.test/doc/'
+               WHEN doc_id % 7 = 1 THEN 'https://sub.spam.example/doc/'
+               ELSE 'https://' || source || '.test/doc/' END)
+         || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 11 = 0 THEN '/casino' ELSE '' END) AS url
+  FROM documents
+),
+uhp AS (
+  SELECT url,
+         lower(regexp_replace(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#@]+)', 1),
+           ':[0-9]+$', '')) AS host,
+         CASE WHEN regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(/[^?#]*)?', 1) = ''
+              THEN '/'
+              ELSE regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(/[^?#]*)?', 1)
+         END AS path
+  FROM (SELECT DISTINCT url FROM uf)
+),
+rr(host, prefix, allow) AS (VALUES
+  ('ads.tracker.test', '/', FALSE),
+  ('sub.spam.example', '/doc', FALSE),
+  ('sub.spam.example', '/doc/5', TRUE),
+  ('src1.test', '/doc/1', FALSE),
+  ('src1.test', '/doc/12', TRUE),
+  ('src2.test', '/doc', TRUE),
+  ('src2.test', '/doc', FALSE)),
+rcand AS (
+  SELECT u.url, r.prefix, r.allow
+  FROM uhp u JOIN rr r ON r.host = u.host
+  WHERE starts_with(u.path, r.prefix)
+),
+rbest AS (
+  SELECT url, prefix, allow,
+         row_number() OVER (PARTITION BY url
+           ORDER BY length(prefix) DESC, CAST(allow AS INT) DESC,
+                    prefix DESC) AS rn
+  FROM rcand
+)
+SELECT u.url, u.host, u.path,
+       coalesce(b.allow, TRUE) AS allowed,
+       b.prefix AS matched_prefix
+FROM uhp u LEFT JOIN rbest b ON b.url = u.url AND b.rn = 1"""
+
     # warc_roundtrip: every field recomputed from documents — the
     # framing arithmetic (fixed HTTP head = 77 ASCII bytes +
     # len(str(L)) + L payload octets) mirrors sources/warc.

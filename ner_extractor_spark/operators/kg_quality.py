@@ -118,3 +118,44 @@ def negative_samples(triples: DataFrame, k: int = 2,
             .filter(F.col("neg_obj_surface") != F.col("obj_surface"))
             .select("url", "sent_id", "subj_surface", "subj_label", "pred",
                     "obj_surface", "neg_i", "neg_obj_surface"))
+
+
+def resolve_facts(prov: DataFrame,
+                  functional_preds: Iterable[str] | None = None
+                  ) -> DataFrame:
+    """Truth discovery over the ``triple_provenance`` rollup: for each
+    (subj, pred) of a FUNCTIONAL predicate (one true object per
+    subject — based_in, founded_by...), accept exactly one object by
+    weighted vote with a fully deterministic order:
+
+      more distinct sources > more mentions > earlier first capture >
+      lexicographically smaller object.
+
+    The Web states conflicting facts; a KG keeps one (the
+    majority-vote baseline of the truth-discovery literature, e.g.
+    Dong et al. 2009's VOTE).  Output: (subj, pred, obj, n_sources,
+    n_mentions, n_alternatives, support_share) — support_share is the
+    winner's share of all mentions of (subj, pred), the confidence
+    datum downstream consumers threshold on.
+
+    Scale shape: ONE aggregation keyed on (subj, pred) — the vote is
+    a min(struct) with inverted count keys (no window, no second
+    shuffle); payload fields ride behind the ordering keys, which is
+    sound because (subj, pred, obj) is unique in the provenance
+    rollup.  ``functional_preds=None`` resolves every predicate."""
+    p = prov
+    if functional_preds is not None:
+        p = p.filter(F.col("pred").isin(list(functional_preds)))
+    key = F.struct(
+        (-F.col("n_sources")).alias("a"), (-F.col("n_mentions")).alias("b"),
+        F.unix_timestamp("first_seen").alias("c"), F.col("obj").alias("obj"),
+        F.col("n_sources").alias("ns"), F.col("n_mentions").alias("nm"))
+    g = (p.groupBy("subj", "pred")
+         .agg(F.min(key).alias("win"),
+              F.sum("n_mentions").alias("total"),
+              F.count(F.lit(1)).alias("n_alternatives")))
+    return g.select(
+        "subj", "pred", F.col("win.obj").alias("obj"),
+        F.col("win.ns").alias("n_sources"), F.col("win.nm").alias("n_mentions"),
+        "n_alternatives",
+        F.round(F.col("win.nm") / F.col("total"), 6).alias("support_share"))

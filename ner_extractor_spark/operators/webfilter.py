@@ -95,3 +95,54 @@ def filter_urls(pages: DataFrame, blocked_domains,
         .otherwise(F.lit("ok")))
     return flagged.select("url", "host", (reason == "ok").alias("keep"),
                           reason.alias("reason"))
+
+
+# path = first '/' after the authority, up to '?' or '#'
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(/[^?#]*)?"
+
+
+def url_path(col):
+    """URL path without query/fragment; '/' when the URL has none
+    (robots matching operates on the path, RFC 9309 §2.2.2)."""
+    p = F.regexp_extract(col, _PATH_RE, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_filter(urls: DataFrame, rules,
+                  url_col: str = "url") -> DataFrame:
+    """Crawl-politeness gating: (url, host, path, allowed,
+    matched_prefix) per DISTINCT url under an aggregated robots rule
+    table — RFC 9309 semantics on the path-prefix subset: the
+    LONGEST matching rule for the url's host wins; on a length tie
+    allow beats disallow; no matching rule means allowed (callers
+    needing wildcard rules expand '*' upstream into prefix families).
+
+    ``rules``: (host, prefix, allow) rows — a DataFrame, or a Python
+    list of tuples (the curated-literal case).  Rule tables are the
+    per-host digest of fetched robots.txt files — millions of rows at
+    crawl scale but trivially broadcastable (one row per directive),
+    so the whole gate is a BROADCAST left join + one url-keyed
+    aggregation; no shuffle touches the corpus beyond the url key."""
+    spark = urls.sparkSession
+    if not isinstance(rules, DataFrame):
+        rules = spark.createDataFrame(
+            list(rules), "host string, prefix string, allow boolean")
+    r = F.broadcast(rules.select(F.col("host").alias("_rh"),
+                                 "prefix", "allow"))
+    u = (urls.select(F.col(url_col).alias("url")).distinct()
+         .withColumn("host", url_host(F.col("url")))
+         .withColumn("path", url_path(F.col("url"))))
+    j = u.join(r, F.col("host") == F.col("_rh"), "left")
+    cand = F.when(
+        F.col("_rh").isNotNull()
+        & F.col("path").startswith(F.col("prefix")),
+        F.struct(F.length("prefix").alias("a"),
+                 F.col("allow").cast("int").alias("b"),
+                 F.col("prefix").alias("prefix"),
+                 F.col("allow").alias("allow")))
+    return (j.groupBy("url", "host", "path")
+            .agg(F.max(cand).alias("win"))
+            .select("url", "host", "path",
+                    F.coalesce(F.col("win.allow"), F.lit(True))
+                    .alias("allowed"),
+                    F.col("win.prefix").alias("matched_prefix")))

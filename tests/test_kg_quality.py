@@ -87,3 +87,42 @@ def test_negative_samples_determinism_and_no_positives(spark):
     for r in rows:
         if r["obj_surface"] in pools["ORG"]:
             assert r["neg_obj_surface"] in pools["ORG"]
+
+def test_resolve_facts_vote_order(spark):
+    import datetime as dt
+    from ner_extractor_spark.operators.kg_quality import resolve_facts
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # s1/based_in: source count dominates mentions
+        ("s1", "based_in", "paris", 9, 2, ts(5)),
+        ("s1", "based_in", "tokyo", 1, 3, ts(1)),
+        # s2/based_in: sources tie -> mentions decide
+        ("s2", "based_in", "lyon", 2, 2, ts(5)),
+        ("s2", "based_in", "nice", 3, 2, ts(9)),
+        # s3/based_in: sources+mentions tie -> earlier capture
+        ("s3", "based_in", "late", 2, 2, ts(8)),
+        ("s3", "based_in", "early", 2, 2, ts(3)),
+        # s4/based_in: full tie -> lexicographically smaller obj
+        ("s4", "based_in", "bbb", 1, 1, ts(1)),
+        ("s4", "based_in", "aaa", 1, 1, ts(1)),
+        # s5: single fact passes through
+        ("s5", "works_at", "acme", 1, 1, ts(1)),
+    ]
+    prov = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, n_mentions long, "
+        "n_sources long, first_seen timestamp")
+    got = {(r["subj"], r["pred"]): r for r in resolve_facts(prov).collect()}
+    assert got[("s1", "based_in")]["obj"] == "tokyo"      # 3 sources
+    assert got[("s2", "based_in")]["obj"] == "nice"       # 3 mentions
+    assert got[("s3", "based_in")]["obj"] == "early"
+    assert got[("s4", "based_in")]["obj"] == "aaa"
+    assert got[("s5", "works_at")]["obj"] == "acme"
+    r1 = got[("s1", "based_in")]
+    assert r1["n_alternatives"] == 2
+    assert r1["support_share"] == round(1 / 10, 6)
+    # functional_preds filter drops other predicates entirely
+    only = resolve_facts(prov, functional_preds=["works_at"]).collect()
+    assert [r["subj"] for r in only] == ["s5"]

@@ -88,3 +88,48 @@ def test_filter_urls_literal_mode_zero_shuffle(spark):
     assert sorted(map(tuple, lit_out.collect())) == via_df
     plan = lit_out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_robots_filter_semantics(spark):
+    from ner_extractor_spark.operators.webfilter import (robots_filter,
+                                                         url_path)
+    rules = [
+        ("a.test", "/", False),
+        ("a.test", "/public", True),
+        ("b.test", "/x", True),
+        ("b.test", "/x", False),       # equal length -> allow wins
+        ("c.test", "/priv", False),
+    ]
+    urls = spark.createDataFrame(
+        [("https://a.test/secret",),
+         ("https://a.test/public/page",),
+         ("https://b.test/x/1",),
+         ("https://c.test/open",),
+         ("https://c.test/priv/1?q=2#f",),
+         ("https://user:pw@c.test:8080/priv/2",),
+         ("https://nohost-rules.test/anything",)], "url string")
+    got = {r["url"]: r for r in robots_filter(urls, rules).collect()}
+    assert not got["https://a.test/secret"]["allowed"]
+    assert got["https://a.test/secret"]["matched_prefix"] == "/"
+    # longer allow carves back under disallow-all
+    assert got["https://a.test/public/page"]["allowed"]
+    assert got["https://a.test/public/page"]["matched_prefix"] == "/public"
+    assert got["https://b.test/x/1"]["allowed"]          # tie -> allow
+    assert got["https://c.test/open"]["allowed"]          # no match
+    assert got["https://c.test/open"]["matched_prefix"] is None
+    # query/fragment stripped from path; userinfo/port from host
+    assert not got["https://c.test/priv/1?q=2#f"]["allowed"]
+    assert not got["https://user:pw@c.test:8080/priv/2"]["allowed"]
+    assert got["https://user:pw@c.test:8080/priv/2"]["host"] == "c.test"
+    assert got["https://nohost-rules.test/anything"]["allowed"]
+
+
+def test_url_path_defaults(spark):
+    from pyspark.sql import functions as F
+    from ner_extractor_spark.operators.webfilter import url_path
+    df = spark.createDataFrame(
+        [("https://a.test",), ("https://a.test/",),
+         ("https://a.test?q=1",), ("https://a.test/p/q",)], "url string")
+    got = [r["p"] for r in
+           df.select(url_path(F.col("url")).alias("p")).collect()]
+    assert got == ["/", "/", "/", "/p/q"]
