@@ -78,6 +78,10 @@ HEADLINE = [
     "chunk_documents_bpe",       # r06: BPE-token-budgeted windows
     "classifier_trained_gate",   # r06: perceptron train + learned gate
     "web_verdict_learned",       # r06: full verdict with the trained gate
+    "kg_transe",                 # r06: dyadic TransE embedding training
+    "warc_roundtrip",            # r06: WARC synth + framing parse
+    "kg_fact_resolution",        # r06: provenance vote, one min(struct) agg
+    "web_robots_filter",         # r06: RFC 9309 broadcast longest-match
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
