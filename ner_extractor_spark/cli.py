@@ -38,10 +38,14 @@ def resolve_run_args(args, cfg: dict) -> dict:
     cfg_run = cfg.get("run_id")
     run_id = args.run_id if args.run_id is not None \
         else ("run0" if cfg_run in (None, "") else str(cfg_run))
-    use_html = bool(getattr(args, "use_html", None) or cfg.get("use_html"))
+    warc = getattr(args, "warc", None) or (
+        str(cfg_paths["warc"]) if cfg_paths.get("warc") else None)
+    # a WARC feed carries html payloads by definition
+    use_html = bool(getattr(args, "use_html", None) or cfg.get("use_html")
+                    or warc)
     return {"pages": pages_path, "workdir": workdir,
             "synth": synth_n, "lang": lang_arg, "run_id": run_id,
-            "use_html": use_html}
+            "use_html": use_html, "warc": warc}
 
 
 def main(argv=None):
@@ -61,6 +65,10 @@ def main(argv=None):
                     default=None,
                     help="extract text from the html column via the real "
                          "markup-aware extractor (raw-crawl inputs)")
+    kg.add_argument("--warc", default=None,
+                    help="read .warc/.warc.gz files under this dir as the "
+                         "page source (crawl-native input; implies "
+                         "--use-html)")
     kg.add_argument("--run-id", default=None)
 
     cu = sub.add_parser("curate",
@@ -158,7 +166,14 @@ def main(argv=None):
 
     spark = get_spark(app_name="kg-pipeline")
 
-    if synth_n:
+    if run.get("warc"):
+        from pyspark.sql import functions as F
+        from ner_extractor_spark.sources.warc import (read_warc,
+                                                      warc_to_pages)
+        pages = (warc_to_pages(read_warc(spark, run["warc"]))
+                 .withColumn("text", F.lit(None).cast("string"))
+                 .withColumn("lang", F.lit(None).cast("string")))
+    elif synth_n:
         pages = spark.createDataFrame(
             synth.pages_rows(synth.gold_corpus(synth_n)), schema=PAGES)
     else:
@@ -181,6 +196,8 @@ def main(argv=None):
                          if pages_path and "/" in pages_path else pages_path)
         save_config({
             "paths": {"pages": pages_persist or None,
+                      "warc": (_Path(run["warc"]).resolve()
+                               if run.get("warc") else None),
                       "workdir": _Path(workdir).resolve()},
             "lang": lang_arg, "run_id": run_id, "synth": synth_n,
             "use_html": run["use_html"],

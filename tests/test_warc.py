@@ -141,3 +141,49 @@ def test_synth_files_deterministic_any_partitioning(spark):
     b = {r["file_id"]: hashlib.md5(bytes(r["content"])).hexdigest()
          for r in synth_warc_files(p.repartition(7), n_files=2).collect()}
     assert a == b
+
+
+def test_warc_feed_drives_kg_pipeline(spark, tmp_path):
+    # crawl-native input end to end: gold pages -> WARC files on disk
+    # -> read_warc -> warc_to_pages -> the KG pipeline (use_html=True)
+    # produces the identical triples as feeding the pages directly
+    from ner_extractor_spark import synth
+    from ner_extractor_spark.plans.kg_pipeline import run_kg_pipeline
+    from ner_extractor_spark.schemas import ALIASES, PAGES as PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        synth.pages_rows(synth.gold_corpus(12)), schema=PAGES_SCHEMA)
+    wdir = tmp_path / "warc"
+    wdir.mkdir()
+    for r in synth_warc_files(pages, n_files=2).collect():
+        (wdir / f"crawl-{r['file_id']}.warc").write_bytes(
+            bytes(r["content"]))
+    via_warc = (warc_to_pages(read_warc(spark, str(wdir)))
+                .withColumn("text", F.lit(None).cast("string"))
+                .withColumn("lang", F.lit(None).cast("string")))
+    aliases = spark.createDataFrame(synth.alias_rows(), schema=ALIASES)
+    tag = synth.tagger_dictionary()
+    r1 = run_kg_pipeline(spark, via_warc, aliases, tag,
+                         str(tmp_path / "w1"), lang=None, use_html=True)
+    r2 = run_kg_pipeline(spark, pages, aliases, tag,
+                         str(tmp_path / "w2"), lang=None, use_html=True)
+    t1 = sorted(map(tuple, r1.triples.collect()))
+    t2 = sorted(map(tuple, r2.triples.collect()))
+    assert t1 == t2 and len(t1) > 0
+
+
+def test_resolve_run_args_warc_implies_html():
+    import argparse
+    from ner_extractor_spark.cli import resolve_run_args
+    ns = argparse.Namespace(pages=None, workdir="/tmp/w", synth=None,
+                            lang=None, run_id=None, use_html=None,
+                            warc="/tmp/crawl")
+    run = resolve_run_args(ns, {})
+    assert run["warc"] == "/tmp/crawl" and run["use_html"] is True
+    # config-supplied warc path works the same way
+    ns2 = argparse.Namespace(pages=None, workdir=None, synth=None,
+                             lang=None, run_id=None, use_html=None,
+                             warc=None)
+    run2 = resolve_run_args(ns2, {"paths": {"warc": "/cfg/crawl",
+                                            "workdir": "/cfg/w"}})
+    assert run2["warc"] == "/cfg/crawl" and run2["use_html"] is True
