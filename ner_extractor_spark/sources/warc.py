@@ -40,7 +40,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (BinaryType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+                               StringType, StructField, StructType,
+                               TimestampType)
 
 _CRLF = "\r\n"
 _HTTP_CT = "text/html; charset=utf-8"
@@ -227,3 +228,36 @@ def warc_to_pages(parsed: DataFrame) -> DataFrame:
                                    "yyyy-MM-dd'T'HH:mm:ss'Z'")
                     .alias("warc_ts"),
                     F.col("payload").alias("html")))
+
+
+# binaryFile's fixed schema — streaming sources cannot infer it
+_BINARYFILE_SCHEMA = StructType([
+    StructField("path", StringType(), True),
+    StructField("modificationTime", TimestampType(), True),
+    StructField("length", LongType(), True),
+    StructField("content", BinaryType(), True),
+])
+
+
+def stream_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of ``read_warc``: watch ``path`` for new
+    .warc/.warc.gz files (the crawler's drop directory) and emit
+    PARSED records per micro-batch.  binaryFile is a standard file
+    stream source — each file is discovered exactly once and tracked
+    in the streaming checkpoint, so a crawl feed drains incrementally
+    with cross-run resume; the parse itself is the same stateless
+    mapInPandas stage as batch."""
+    raw = (spark.readStream.format("binaryFile")
+           .schema(_BINARYFILE_SCHEMA)
+           .option("pathGlobFilter", "*.warc*").load(path)
+           .select(F.xxhash64("path").alias("file_id"), "content"))
+    return parse_warc_records(raw)
+
+
+def stream_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming WARC feed -> the pages shape ``run_kg_stream``
+    consumes (text/lang NULL — the html path extracts text;
+    use_html=True downstream)."""
+    return (warc_to_pages(stream_warc(spark, path))
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn("lang", F.lit(None).cast("string")))
