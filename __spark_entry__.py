@@ -1539,6 +1539,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = transe_train(p, dim=4, n_rounds=2)
         return transe_eval(p, emb)
 
+    def kg_link_predict(spark, sf):
+        # r06: the trained embeddings EVALUATED the way the TransE
+        # literature does — filtered ranking: rank each true tail
+        # among its same-label candidate pool by L1 energy (other
+        # true tails excluded), hits@1/@3 + mean rank per relation;
+        # exact dyadic energies keep cross-engine ties identical
+        from ner_extractor_spark.operators.kg_embed import (
+            transe_link_predict, transe_pairs, transe_train)
+        from ner_extractor_spark.operators.kg_quality import \
+            negative_samples
+        tri = _triples_df(spark, sf)
+        emb = transe_train(transe_pairs(negative_samples(tri, k=2)),
+                           dim=4, n_rounds=2)
+        return transe_link_predict(tri, emb)
+
     def warc_roundtrip(spark, sf):
         # r06: the WARC source made real — pages synthesized into
         # multi-record WARC/1.0 file blobs (spec CRLF framing + the
@@ -1603,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed this round --------------------------------
         "kg_transe": kg_transe,                                  # r06
         "kg_transe_eval": kg_transe_eval,                        # r06
+        "kg_link_predict": kg_link_predict,                      # r06
         "warc_roundtrip": warc_roundtrip,                        # r06
         "kg_fact_resolution": kg_fact_resolution,                # r06
         "web_robots_filter": web_robots_filter,                  # r06
@@ -4616,6 +4632,43 @@ SELECT u.url, u.host, u.path,
        coalesce(b.allow, TRUE) AS allowed,
        b.prefix AS matched_prefix
 FROM uhp u LEFT JOIN rbest b ON b.url = u.url AND b.rn = 1"""
+
+    # kg_link_predict: the transe chain + filtered candidate ranking
+    # (the neg oracle's pool CTE is the candidate pool; other true
+    # tails excluded via the lpos left join)
+    d["kg_link_predict"] = transe_base + """,
+lpos AS MATERIALIZED (
+  SELECT subj_surface AS h, pred AS r, obj_surface AS t,
+         min(obj_label) AS lbl
+  FROM tri GROUP BY 1, 2, 3
+),
+lcand AS (
+  SELECT p.h, p.r, p.t, u.c
+  FROM lpos p JOIN pool ON pool.lbl = p.lbl, unnest(pool.pl) AS u(c)
+),
+lde AS MATERIALIZED (
+  SELECT cd.h, cd.r, cd.t, cd.c,
+         sum(abs(eh.v + er.v - ec.v)) AS d
+  FROM lcand cd CROSS JOIN tdims dd
+  JOIN temb2 eh ON eh.kind = 'e' AND eh.id = cd.h AND eh.i = dd.i
+  JOIN temb2 er ON er.kind = 'r' AND er.id = cd.r AND er.i = dd.i
+  JOIN temb2 ec ON ec.kind = 'e' AND ec.id = cd.c AND ec.i = dd.i
+  GROUP BY 1, 2, 3, 4
+),
+ldt AS (SELECT h, r, t, d AS dt FROM lde WHERE c = t),
+lrk AS (
+  SELECT e.h, e.r, e.t,
+         1 + sum(CASE WHEN p2.t IS NULL AND e.d < dt.dt
+                      THEN 1 ELSE 0 END) AS rank
+  FROM lde e JOIN ldt dt USING (h, r, t)
+  LEFT JOIN lpos p2 ON p2.h = e.h AND p2.r = e.r AND p2.t = e.c
+  GROUP BY 1, 2, 3
+)
+SELECT r AS pred, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+       CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+       round(avg(rank), 6) AS mean_rank
+FROM lrk GROUP BY r"""
 
     # warc_roundtrip: every field recomputed from documents — the
     # framing arithmetic (fixed HTTP head = 77 ASCII bytes +

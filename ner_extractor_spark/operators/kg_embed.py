@@ -191,3 +191,70 @@ def transe_eval(pairs: DataFrame, emb: DataFrame, *,
             .select("pred", "n_pairs", "n_sep",
                     F.round(F.col("n_sep") / F.col("n_pairs"), 6)
                     .alias("sep_rate")))
+
+
+def transe_link_predict(triples: DataFrame, emb: DataFrame, *,
+                        pool_cap: int = 10000,
+                        broadcast: bool = True) -> DataFrame:
+    """Link-prediction evaluation of trained embeddings — the
+    standard FILTERED ranking protocol of the TransE literature: for
+    every distinct positive (h, r, t), rank t among the same-label
+    candidate pool by L1 energy, excluding candidates that are
+    themselves true tails of (h, r); report per-relation
+    (pred, n_triples, hits1, hits3, mean_rank).
+
+    Rank is optimistic (strictly-smaller energies only) and exact:
+    energies are dyadic, so cross-engine ties resolve identically —
+    the DuckDB replay (query ``kg_link_predict``) is bit-stable.
+
+    Scale shape: candidates = positives x pool (the ``pool_cap``-
+    bounded, per-label sorted-distinct pool of ``negative_samples``);
+    at web scale full ranking is the expensive eval step and
+    ``pool_cap`` IS the sampled-ranking bound.  Three embedding joins
+    (broadcast default), one (h,r,t,c)-keyed energy aggregation, one
+    (h,r,t) rank aggregation, one per-relation rollup."""
+    pos = (triples.groupBy(F.col("subj_surface").alias("h"),
+                           F.col("pred").alias("r"),
+                           F.col("obj_surface").alias("t"))
+           .agg(F.min("obj_label").alias("lbl")))
+    pool = (triples.select(F.col("obj_label").alias("lbl"), "obj_surface")
+            .groupBy("lbl")
+            .agg(F.slice(F.array_sort(F.collect_set("obj_surface")),
+                         1, pool_cap).alias("pl")))
+    cand = (pos.join(F.broadcast(pool), "lbl")
+            .select("h", "r", "t", F.explode("pl").alias("c")))
+    e = F.broadcast(emb) if broadcast else emb
+    eh = e.filter(F.col("kind") == "e").select(
+        F.col("id").alias("_h"), F.col("i").alias("_hi"),
+        F.col("v").alias("vh"))
+    er = e.filter(F.col("kind") == "r").select(
+        F.col("id").alias("_r"), F.col("i").alias("_ri"),
+        F.col("v").alias("vr"))
+    ec = e.filter(F.col("kind") == "e").select(
+        F.col("id").alias("_c"), F.col("i").alias("_ci"),
+        F.col("v").alias("vc"))
+    de = (cand
+          .join(eh, F.col("h") == F.col("_h"))
+          .join(er, (F.col("r") == F.col("_r"))
+                & (F.col("_hi") == F.col("_ri")))
+          .join(ec, (F.col("c") == F.col("_c"))
+                & (F.col("_hi") == F.col("_ci")))
+          .groupBy("h", "r", "t", "c")
+          .agg(F.sum(F.abs(F.col("vh") + F.col("vr") - F.col("vc")))
+               .alias("d")))
+    dt = (de.filter(F.col("c") == F.col("t"))
+          .select("h", "r", "t", F.col("d").alias("dt")))
+    isp = pos.select("h", "r", F.col("t").alias("c"),
+                     F.lit(True).alias("is_pos"))
+    ranked = (de.join(dt, ["h", "r", "t"])
+              .join(isp, ["h", "r", "c"], "left")
+              .groupBy("h", "r", "t")
+              .agg((F.lit(1) + F.sum(
+                  F.when(F.col("is_pos").isNull()
+                         & (F.col("d") < F.col("dt")), 1)
+                  .otherwise(0))).cast("long").alias("rank")))
+    return (ranked.groupBy(F.col("r").alias("pred"))
+            .agg(F.count(F.lit(1)).alias("n_triples"),
+                 F.sum((F.col("rank") <= 1).cast("long")).alias("hits1"),
+                 F.sum((F.col("rank") <= 3).cast("long")).alias("hits3"),
+                 F.round(F.avg("rank"), 6).alias("mean_rank")))

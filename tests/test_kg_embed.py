@@ -157,3 +157,57 @@ def test_init_embeddings_range_and_determinism(spark):
     assert e1 == e2 and len(e1) == 16
     assert all(Fraction(-1) <= v < Fraction(1) for v in e1.values())
     assert all(v.denominator <= 1024 for v in e1.values())
+
+
+def test_link_predict_filtered_ranking(spark):
+    # exact filtered-rank replica over init embeddings (no training
+    # rounds needed to pin the ranking protocol itself)
+    from ner_extractor_spark.operators.kg_embed import (
+        init_embeddings, transe_link_predict)
+
+    tri_rows = [
+        # (h, r, t, t_label) — ORG pool: {acme, globex, initech}
+        ("alice", "works_at", "acme", "ORG"),
+        ("alice", "works_at", "globex", "ORG"),   # second true tail
+        ("bob", "works_at", "initech", "ORG"),
+        ("acme", "based_in", "paris", "LOC"),
+        ("globex", "based_in", "tokyo", "LOC"),
+    ]
+    tri = spark.createDataFrame(
+        tri_rows, "subj_surface string, pred string, obj_surface string, "
+        "obj_label string")
+    ents = spark.createDataFrame(
+        [(e,) for e in sorted({r[0] for r in tri_rows}
+                              | {r[2] for r in tri_rows})], "id string")
+    rels = spark.createDataFrame(
+        [(r,) for r in sorted({x[1] for x in tri_rows})], "id string")
+    emb = (init_embeddings(spark, ents, "e", 4)
+           .unionByName(init_embeddings(spark, rels, "r", 4)))
+    got = {r["pred"]: r for r in transe_link_predict(tri, emb).collect()}
+
+    ev = {(r["kind"], r["id"], r["i"]): Fraction(r["v"])
+          for r in emb.collect()}
+
+    def dist(h, r, x):
+        return sum(abs(ev[("e", h, i)] + ev[("r", r, i)] - ev[("e", x, i)])
+                   for i in range(4))
+
+    pools = {"ORG": sorted({"acme", "globex", "initech"}),
+             "LOC": sorted({"paris", "tokyo"})}
+    pos = {(h, r, t) for (h, r, t, _) in tri_rows}
+    exp = {}
+    for (h, r, t, lbl) in tri_rows:
+        dt = dist(h, r, t)
+        rank = 1 + sum(1 for c in pools[lbl]
+                       if (h, r, c) not in pos and dist(h, r, c) < dt)
+        exp.setdefault(r, []).append(rank)
+    for pred, ranks in exp.items():
+        g = got[pred]
+        assert g["n_triples"] == len(ranks)
+        assert g["hits1"] == sum(1 for x in ranks if x <= 1)
+        assert g["hits3"] == sum(1 for x in ranks if x <= 3)
+        assert g["mean_rank"] == pytest.approx(
+            round(sum(ranks) / len(ranks), 6))
+    # the filtered protocol: alice's two true ORG tails never compete
+    # with each other, so every rank is within the pool bound
+    assert all(1 <= x <= 3 for x in exp["works_at"])
