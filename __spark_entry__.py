@@ -1554,6 +1554,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            dim=4, n_rounds=2)
         return transe_link_predict(tri, emb)
 
+    def web_anchor_aliases(spark, sf):
+        # r06: anchor-text alias mining — the classic KG alias
+        # bootstrap (the text the web uses to link to a target IS its
+        # alias distribution): simple-anchor extraction (pure JVM
+        # regex; nested-markup anchors excluded by design) ->
+        # canonical target -> normalized surface -> per-target top-k.
+        # The oracle computes expected aliases from the construction,
+        # so a parser that eats the nested decoy or misses the
+        # attribute-noisy anchor fails row-for-row
+        from ner_extractor_spark.operators.weblinks import (
+            anchor_alias_candidates, extract_anchor_texts)
+        d = _docs(spark, sf)
+        e = (F.col("doc_id") % 17).cast("string")
+        html = F.concat(
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+            F.lit('<a class="c" href="https://w.test/e/'), e,
+            F.lit('?utm_source=feed&z=1" rel="nofollow">Entity '), e,
+            F.lit("</a>"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit('<a href="https://w.test/e/'), e,
+                            F.lit('">The  ENTITY '), e,
+                            F.lit(" page</a>")))
+            .otherwise(F.lit("")),
+            F.lit('<a href="https://skip.test/x"><b>nested</b></a>'),
+            F.lit("</body></html>"))
+        pages = d.select(
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".test/doc/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.encode(html, "UTF-8").alias("html"))
+        return anchor_alias_candidates(extract_anchor_texts(pages),
+                                       top_k=2)
+
     def warc_roundtrip(spark, sf):
         # r06: the WARC source made real — pages synthesized into
         # multi-record WARC/1.0 file blobs (spec CRLF framing + the
@@ -1580,6 +1613,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             resolve_facts, triple_provenance)
         return resolve_facts(triple_provenance(
             _triples_df(spark, sf), _pages(spark, sf)))
+
+    def kg_fact_timeline(spark, sf):
+        # r06: the TEMPORAL twin of kg_fact_resolution — per
+        # (subj, pred), capture-ordered object observations collapsed
+        # into validity intervals (gaps-and-islands; valid_to = next
+        # interval's start, NULL while current): how a web-scale KG
+        # represents facts that change instead of voting one winner
+        from ner_extractor_spark.operators.kg_quality import \
+            fact_timeline
+        return fact_timeline(_triples_df(spark, sf), _pages(spark, sf))
 
     def web_robots_filter(spark, sf):
         # r06: crawl-politeness gating — RFC 9309 longest-match rules
@@ -1620,7 +1663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe_eval": kg_transe_eval,                        # r06
         "kg_link_predict": kg_link_predict,                      # r06
         "warc_roundtrip": warc_roundtrip,                        # r06
+        "web_anchor_aliases": web_anchor_aliases,                # r06
         "kg_fact_resolution": kg_fact_resolution,                # r06
+        "kg_fact_timeline": kg_fact_timeline,                    # r06
         "web_robots_filter": web_robots_filter,                  # r06
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
@@ -4583,6 +4628,48 @@ SELECT subj, pred, obj, n_sources, n_mentions,
        round(n_mentions / total, 6) AS support_share
 FROM frk WHERE rn = 1"""
 
+    # kg_fact_timeline: gaps-and-islands over capture-ordered
+    # observations (same pts warc_ts derivation)
+    d["kg_fact_timeline"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+pts AS (
+  SELECT url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT))
+           AS warc_ts
+  FROM pages
+),
+tobs AS (
+  SELECT t.subj_surface AS subj, t.pred, t.obj_surface AS obj,
+         p.warc_ts AS ts, CAST(count(*) AS BIGINT) AS n
+  FROM tri t JOIN pts p USING (url)
+  GROUP BY 1, 2, 3, 4
+),
+tchg AS (
+  SELECT *,
+         CASE WHEN lag(obj) OVER (PARTITION BY subj, pred
+                                  ORDER BY ts, obj) IS NULL
+                OR lag(obj) OVER (PARTITION BY subj, pred
+                                  ORDER BY ts, obj) != obj
+              THEN 1 ELSE 0 END AS chg
+  FROM tobs
+),
+tseg AS (
+  SELECT *, sum(chg) OVER (PARTITION BY subj, pred ORDER BY ts, obj
+                           ROWS UNBOUNDED PRECEDING) AS seg
+  FROM tchg
+),
+tiv AS (
+  SELECT subj, pred, seg, any_value(obj) AS obj,
+         min(ts) AS valid_from, CAST(sum(n) AS BIGINT) AS n_obs
+  FROM tseg GROUP BY 1, 2, 3
+)
+SELECT subj, pred, obj, valid_from,
+       lead(valid_from) OVER (PARTITION BY subj, pred ORDER BY seg)
+         AS valid_to,
+       n_obs
+FROM tiv"""
+
     # web_robots_filter: the uf url synthesis + host/path regex
     # replicas + RFC 9309 longest-match via an explicit window order
     d["web_robots_filter"] = r"""
@@ -4669,6 +4756,41 @@ SELECT r AS pred, CAST(count(*) AS BIGINT) AS n_triples,
        CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
        round(avg(rank), 6) AS mean_rank
 FROM lrk GROUP BY r"""
+
+    # web_anchor_aliases: expected aliases computed from the
+    # construction (the html_extract_text oracle posture — the oracle
+    # never parses markup); canonicalization through the shared
+    # CANONICAL_URL_SQL replica
+    d["web_anchor_aliases"] = """
+WITH apages AS (
+  SELECT doc_id, CAST(doc_id % 17 AS VARCHAR) AS e FROM documents
+),
+arows AS (
+  SELECT 'https://w.test/e/' || e || '?utm_source=feed&z=1' AS href,
+         'Entity ' || e AS anchor
+  FROM apages
+  UNION ALL
+  SELECT 'https://w.test/e/' || e, 'The  ENTITY ' || e || ' page'
+  FROM apages WHERE doc_id % 3 = 0
+),
+_urls AS (SELECT DISTINCT href AS u FROM arows),
+canon AS (""" + _CANON_URL_SQL + r"""),
+anorm AS (
+  SELECT c._out AS dst_url,
+         trim(regexp_replace(lower(a.anchor), '\s+', ' ', 'g'))
+           AS alias_norm
+  FROM arows a JOIN canon c ON c._in = a.href
+),
+acnt AS (
+  SELECT dst_url, alias_norm, CAST(count(*) AS BIGINT) AS n
+  FROM anorm WHERE alias_norm != '' GROUP BY 1, 2
+)
+SELECT dst_url, alias_norm, n, rank FROM (
+  SELECT dst_url, alias_norm, n,
+         CAST(row_number() OVER (PARTITION BY dst_url
+           ORDER BY n DESC, alias_norm ASC) AS INT) AS rank
+  FROM acnt)
+WHERE rank <= 2"""
 
     # warc_roundtrip: every field recomputed from documents — the
     # framing arithmetic (fixed HTTP head = 77 ASCII bytes +

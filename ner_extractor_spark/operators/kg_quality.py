@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Iterable, Tuple
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def typed_triples(triples: DataFrame,
@@ -159,3 +159,40 @@ def resolve_facts(prov: DataFrame,
         F.col("win.ns").alias("n_sources"), F.col("win.nm").alias("n_mentions"),
         "n_alternatives",
         F.round(F.col("win.nm") / F.col("total"), 6).alias("support_share"))
+
+
+def fact_timeline(triples: DataFrame, pages: DataFrame) -> DataFrame:
+    """Temporal KG: per (subj, pred), collapse the capture-ordered
+    object observations into VALIDITY INTERVALS — one row per maximal
+    run of a constant object: (subj, pred, obj, valid_from, valid_to,
+    n_obs), ``valid_to`` = the next interval's start (NULL while
+    current).  'acme based_in paris [t0, t3) -> tokyo [t3, NULL)' is
+    how a web-scale KG represents facts that CHANGE (company moves,
+    CEO changes) instead of voting one winner (``resolve_facts`` is
+    the atemporal twin).
+
+    Classic gaps-and-islands: change flag via lag(obj), running sum
+    -> segment id, segment rollup, lead() for the closing bound.
+    Ties at the same capture instant order by (ts, obj) — fully
+    deterministic.  Scale shape: every window and the rollup key on
+    (subj, pred) — ONE shuffle partitioning reused by all four steps
+    (Catalyst collapses same-key windows into one exchange)."""
+    obs = (triples.join(pages.select("url", "warc_ts"), on="url")
+           .groupBy(F.col("subj_surface").alias("subj"), "pred",
+                    F.col("obj_surface").alias("obj"),
+                    F.col("warc_ts").alias("ts"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("subj", "pred").orderBy("ts", "obj")
+    chg = F.when(F.lag("obj").over(w).isNull()
+                 | (F.lag("obj").over(w) != F.col("obj")), 1).otherwise(0)
+    seg = (obs.withColumn("chg", chg)  # window-in-window is illegal;
+           .withColumn("seg", F.sum("chg").over(  # materialize first
+               w.rowsBetween(W.unboundedPreceding, W.currentRow))))
+    iv = (seg.groupBy("subj", "pred", "seg")
+          .agg(F.first("obj").alias("obj"),
+               F.min("ts").alias("valid_from"),
+               F.sum("n").alias("n_obs")))
+    w2 = W.partitionBy("subj", "pred").orderBy("seg")
+    return (iv.withColumn("valid_to", F.lead("valid_from").over(w2))
+            .select("subj", "pred", "obj", "valid_from", "valid_to",
+                    "n_obs"))

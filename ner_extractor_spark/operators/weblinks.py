@@ -59,3 +59,56 @@ def domain_link_graph(links: DataFrame) -> DataFrame:
     return (e.filter((F.col("dst_domain") != "") & (F.col("src_domain") != ""))
             .groupBy("src_domain", "dst_domain")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+#: simple-anchor snippet: an <a ...> tag with a double-quoted href and
+#: a tag-free text body.  Nested-markup anchors are out of the simple
+#: subset by design (deterministic + engine-portable: Java regex and
+#: RE2 agree; anchor text with child tags needs the html.py parser).
+ANCHOR_SNIPPET = r'<a\s[^>]*href="[^"]+"[^>]*>[^<]*</a>'
+
+
+def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """(src_url, href, anchor) — one row per simple anchor occurrence.
+    Pure JVM: one regexp_extract_all explode (bounded by
+    anchors-per-page), two per-snippet regexp_extracts."""
+    snips = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(F.regexp_extract_all(
+            F.decode(F.col(html_col), "UTF-8"),
+            F.lit(ANCHOR_SNIPPET), F.lit(0))).alias("snip"))
+    return snips.select(
+        "src_url",
+        F.regexp_extract("snip", r'href="([^"]+)"', 1).alias("href"),
+        F.regexp_extract("snip", r">([^<]*)<", 1).alias("anchor"))
+
+
+def anchor_alias_candidates(anchors: DataFrame, top_k: int = 3,
+                            min_count: int = 1) -> DataFrame:
+    """Anchor-text alias mining — the classic KG alias source (how
+    link dictionaries are bootstrapped from the web: the text people
+    use to link to a target IS its alias distribution): per canonical
+    target url, the ``top_k`` normalized anchor surfaces by
+    (count desc, alias asc), with counts.
+
+    Output (dst_url, alias_norm, n, rank) feeds ``link_exact``'s
+    alias dimension directly.  Scale shape: one (dst, alias)-keyed
+    count with map-side combine (the hub-target skew collapses per
+    partition), then a per-dst top-k window — keyed on the target
+    url, the maximal-cardinality key."""
+    from pyspark.sql import Window
+
+    from ner_extractor_spark.functions.urls import canonical_url
+    from ner_extractor_spark.operators.link import norm_surface
+
+    a = (anchors.select(canonical_url(F.col("href")).alias("dst_url"),
+                        norm_surface(F.col("anchor")).alias("alias_norm"))
+         .filter(F.col("alias_norm") != ""))
+    cnt = (a.groupBy("dst_url", "alias_norm")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") >= min_count))
+    w = Window.partitionBy("dst_url").orderBy(F.col("n").desc(),
+                                              F.col("alias_norm").asc())
+    return (cnt.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k))

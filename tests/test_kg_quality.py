@@ -126,3 +126,34 @@ def test_resolve_facts_vote_order(spark):
     # functional_preds filter drops other predicates entirely
     only = resolve_facts(prov, functional_preds=["works_at"]).collect()
     assert [r["subj"] for r in only] == ["s5"]
+
+
+def test_fact_timeline_intervals(spark):
+    import datetime as dt
+    from ner_extractor_spark.operators.kg_quality import fact_timeline
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    # acme based_in: paris (t1,t2) -> tokyo (t5) -> paris AGAIN (t8) —
+    # the re-opened segment must be a NEW interval, not a merge
+    tri_rows = [
+        ("u1", "acme", "based_in", "paris"),
+        ("u2", "acme", "based_in", "paris"),
+        ("u5", "acme", "based_in", "tokyo"),
+        ("u8", "acme", "based_in", "paris"),
+        ("u1", "bob", "works_at", "acme"),
+    ]
+    tri = spark.createDataFrame(
+        tri_rows, "url string, subj_surface string, pred string, "
+        "obj_surface string")
+    pages = spark.createDataFrame(
+        [("u1", ts(1)), ("u2", ts(2)), ("u5", ts(5)), ("u8", ts(8))],
+        "url string, warc_ts timestamp")
+    rows = sorted(map(tuple, fact_timeline(tri, pages).collect()))
+    assert rows == sorted([
+        ("acme", "based_in", "paris", ts(1), ts(5), 2),
+        ("acme", "based_in", "tokyo", ts(5), ts(8), 1),
+        ("acme", "based_in", "paris", ts(8), None, 1),
+        ("bob", "works_at", "acme", ts(1), None, 1),
+    ])

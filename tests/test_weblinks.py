@@ -41,3 +41,60 @@ def test_page_domain_parses_authority_only(spark):
     got = [r["d"] for r in
            df.select(page_domain(F.col("u")).alias("d")).collect()]
     assert got == ["h.test", ""]
+
+
+def test_extract_anchor_texts_simple_subset(spark):
+    from ner_extractor_spark.operators.weblinks import extract_anchor_texts
+    html = (
+        '<html><body>'
+        '<a href="https://a.test/1">One</a>'
+        '<a class="x" href="https://a.test/2" rel="nofollow"> Two  words </a>'
+        "<a href='https://sq.test/no'>single-quoted skipped</a>"
+        '<a href="https://nested.test/x"><b>nested skipped</b></a>'
+        '<a href="https://a.test/1">One</a>'      # duplicate preserved
+        '</body></html>')
+    pages = spark.createDataFrame([("https://src.test/p", html)],
+                                  "url string, h string") \
+        .select("url", F.encode("h", "UTF-8").alias("html"))
+    got = [(r["href"], r["anchor"]) for r in
+           extract_anchor_texts(pages).collect()]
+    assert got == [("https://a.test/1", "One"),
+                   ("https://a.test/2", " Two  words "),
+                   ("https://a.test/1", "One")]
+
+
+def test_anchor_alias_candidates_topk_and_link_composition(spark):
+    from ner_extractor_spark.operators.link import link_exact
+    from ner_extractor_spark.operators.weblinks import \
+        anchor_alias_candidates
+    from ner_extractor_spark.schemas import ALIASES
+    anchors = spark.createDataFrame(
+        [("s", "https://e.test/acme?utm_source=x", "ACME Corp"),
+         ("s", "https://e.test/acme", "ACME  Corp"),   # same after norm
+         ("s", "https://e.test/acme", "Acme"),
+         ("s", "https://e.test/acme", "the firm"),
+         ("s", "https://e.test/acme", "Acme"),
+         ("s", "https://e.test/other", "   "),         # blank dropped
+         ("s", "https://e.test/other", "Other")],
+        "src_url string, href string, anchor string")
+    top = anchor_alias_candidates(anchors, top_k=2)
+    rows = [(r["dst_url"], r["alias_norm"], r["n"], r["rank"])
+            for r in sorted(top.collect(),
+                            key=lambda r: (r["dst_url"], r["rank"]))]
+    # utm param canonicalizes away, so all acme anchors share a target;
+    # 'acme corp' ties 'acme' at n=2 -> lexicographic order breaks it
+    assert rows == [("https://e.test/acme", "acme", 2, 1),
+                    ("https://e.test/acme", "acme corp", 2, 2),
+                    ("https://e.test/other", "other", 1, 1)]
+    # the mined table IS a link dimension: wire it into link_exact
+    mined = top.filter(F.col("rank") == 1).select(
+        "alias_norm", F.col("dst_url").alias("entity_id"),
+        F.lit("ORG").alias("entity_type"), F.lit(1.0).alias("prior"))
+    aliases = spark.createDataFrame(mined.collect(), schema=ALIASES)
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, 1, "ORG", "Acme"), ("u", 0, 2, 3, "ORG", "Zzz")],
+        "url string, sent_id int, start int, end int, label string, "
+        "surface string")
+    linked = {r["surface"]: r["entity_id"]
+              for r in link_exact(mentions, aliases).collect()}
+    assert linked.get("Acme") == "https://e.test/acme"
