@@ -82,6 +82,8 @@ HEADLINE = [
     "warc_roundtrip",            # r06: WARC synth + framing parse
     "kg_fact_resolution",        # r06: provenance vote, one min(struct) agg
     "web_robots_filter",         # r06: RFC 9309 broadcast longest-match
+    "web_anchor_aliases",        # r06: anchor-text alias mining
+    "kg_fact_timeline",          # r06: gaps-and-islands validity intervals
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
