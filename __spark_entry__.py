@@ -1624,6 +1624,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fact_timeline
         return fact_timeline(_triples_df(spark, sf), _pages(spark, sf))
 
+    def kg_rule_mining(spark, sf):
+        # r06: AMIE-style horn-rule mining — same-direction /
+        # inverse (symmetry) / chain (composition) rules scored by
+        # support, CWA confidence and head coverage; hub intermediates
+        # capped (max_fanout) before the two-hop join
+        from ner_extractor_spark.operators.kg_quality import mine_rules
+        return mine_rules(_triples_df(spark, sf))
+
     def web_robots_filter(spark, sf):
         # r06: crawl-politeness gating — RFC 9309 longest-match rules
         # (broadcast per-host directive table; longer prefix wins, tie
@@ -1666,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_aliases": web_anchor_aliases,                # r06
         "kg_fact_resolution": kg_fact_resolution,                # r06
         "kg_fact_timeline": kg_fact_timeline,                    # r06
+        "kg_rule_mining": kg_rule_mining,                        # r06
         "web_robots_filter": web_robots_filter,                  # r06
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
@@ -4669,6 +4678,56 @@ SELECT subj, pred, obj, valid_from,
          AS valid_to,
        n_obs
 FROM tiv"""
+
+    # kg_rule_mining: AMIE-style rules — every join keys on the entity
+    # pair; the chain body replays the max_fanout=64 hub cap exactly
+    d["kg_rule_mining"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+P AS (SELECT DISTINCT subj_surface AS x, pred, obj_surface AS y FROM tri),
+marg AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_pairs FROM P GROUP BY 1),
+same_r AS (
+  SELECT h.pred AS head_pred, b.pred AS body,
+         CAST(count(*) AS BIGINT) AS support
+  FROM P b JOIN P h ON b.x = h.x AND b.y = h.y AND b.pred != h.pred
+  GROUP BY 1, 2),
+inv_r AS (
+  SELECT h.pred AS head_pred, b.pred AS body,
+         CAST(count(*) AS BIGINT) AS support
+  FROM P b JOIN P h ON b.y = h.x AND b.x = h.y
+  GROUP BY 1, 2),
+zok AS (
+  SELECT zi.z FROM
+    (SELECT y AS z, count(*) AS c FROM P GROUP BY 1) zi
+    JOIN (SELECT x AS z, count(*) AS c FROM P GROUP BY 1) zo USING (z)
+  WHERE zi.c <= 64 AND zo.c <= 64),
+body2 AS (
+  SELECT DISTINCT a.pred AS q, b.pred AS r, a.x AS x, b.y AS y
+  FROM P a JOIN zok ON a.y = zok.z JOIN P b ON b.x = a.y),
+cbody AS (SELECT q, r, CAST(count(*) AS BIGINT) AS n_body
+          FROM body2 GROUP BY 1, 2),
+csup AS (
+  SELECT h.pred AS head_pred, b2.q, b2.r,
+         CAST(count(*) AS BIGINT) AS support
+  FROM body2 b2 JOIN P h ON h.x = b2.x AND h.y = b2.y
+  GROUP BY 1, 2, 3),
+rules AS (
+  SELECT 'same' AS kind, s.head_pred, s.body, s.support,
+         m.n_pairs AS n_body
+  FROM same_r s JOIN marg m ON m.pred = s.body
+  UNION ALL
+  SELECT 'inverse', i.head_pred, i.body, i.support, m.n_pairs
+  FROM inv_r i JOIN marg m ON m.pred = i.body
+  UNION ALL
+  SELECT 'chain', c.head_pred, c.q || ' . ' || c.r, c.support, cb.n_body
+  FROM csup c JOIN cbody cb ON cb.q = c.q AND cb.r = c.r)
+SELECT kind, head_pred, body, support, n_body, n_head, conf, head_cov
+FROM (
+  SELECT r.kind, r.head_pred, r.body, r.support, r.n_body,
+         mh.n_pairs AS n_head,
+         round(r.support * 1.0 / r.n_body, 6) AS conf,
+         round(r.support * 1.0 / mh.n_pairs, 6) AS head_cov
+  FROM rules r JOIN marg mh ON mh.pred = r.head_pred)
+WHERE support >= 2 AND conf >= 0.05"""
 
     # web_robots_filter: the uf url synthesis + host/path regex
     # replicas + RFC 9309 longest-match via an explicit window order

@@ -84,6 +84,7 @@ HEADLINE = [
     "web_robots_filter",         # r06: RFC 9309 broadcast longest-match
     "web_anchor_aliases",        # r06: anchor-text alias mining
     "kg_fact_timeline",          # r06: gaps-and-islands validity intervals
+    "kg_rule_mining",            # r06: AMIE-style rule discovery
 ]
 
 N_RUNS = 3          # interleaved passes per headline query

@@ -196,3 +196,117 @@ def fact_timeline(triples: DataFrame, pages: DataFrame) -> DataFrame:
     return (iv.withColumn("valid_to", F.lead("valid_from").over(w2))
             .select("subj", "pred", "obj", "valid_from", "valid_to",
                     "n_obs"))
+
+
+def mine_rules(triples: DataFrame, *, min_support: int = 2,
+               min_conf: float = 0.05, chain: bool = True,
+               max_fanout: int | None = 64,
+               materialize: bool = True,
+               subj_col: str = "subj_surface",
+               obj_col: str = "obj_surface") -> DataFrame:
+    """AMIE-style horn-rule mining over the triple table (Galárraga et
+    al., AMIE+, VLDB J. 2015 — public algorithm): discover rules whose
+    body predicts the head predicate, scored by
+
+      * ``support``  — distinct (x, y) entity pairs matching body AND
+        head,
+      * ``conf``     — support / distinct body pairs (standard CWA
+        confidence),
+      * ``head_cov`` — support / distinct head pairs.
+
+    Three rule shapes (``kind``):
+      * ``same``:    q(x, y) => p(x, y), q != p   (implication)
+      * ``inverse``: q(y, x) => p(x, y)           (q == p allowed —
+        that row IS the symmetry detector: spouse(y,x) => spouse(x,y))
+      * ``chain``:   q(x, z) ^ r(z, y) => p(x, y) (composition, e.g.
+        born_in . city_in => citizen_of)
+
+    ``body`` spells the body in AMIE notation; for chain rules it is
+    ``"q . r"``.
+
+    Scale shape: every rule join keys on the ENTITY PAIR (x, y) — the
+    maximal-cardinality key; per-pair predicate multiplicity is
+    bounded by the predicate vocabulary, so join fan-out per key is
+    tiny.  Predicate marginals are broadcast (predicate vocabularies
+    are small by nature — the entity vocabulary is the big one).  The
+    chain body is the one quadratic hazard: a hub intermediate z
+    contributes in_deg(z) x out_deg(z) two-hop pairs, so ``max_fanout``
+    drops intermediates whose in- OR out-degree exceeds the cap before
+    the hop join (AMIE+'s functionality heuristic; a "Reuters"-class
+    hub predicts nothing anyway).  The cap is a deterministic count
+    condition — SQL-replayable, oracle-checked.  ``max_fanout=None``
+    disables it (exact-audit mode, sandbox scale only).
+
+    The distinct pair table P feeds ~8 consumers (bodies, heads,
+    marginals, degree caps); ``materialize=True`` (default) cuts a
+    localCheckpoint barrier after the distinct so the upstream
+    extraction pipeline runs ONCE (the calibrated_curation
+    discipline).  P is one row per distinct triple — for
+    beyond-memory corpora persist it as a parquet stage instead
+    (``plans.checkpoints.write_stage``, the winnow_matches posture)
+    and call with ``materialize=False``."""
+    P = (triples.select(F.col(subj_col).alias("x"), "pred",
+                        F.col(obj_col).alias("y"))
+         .distinct())
+    if materialize:
+        P = P.localCheckpoint()
+    marg = P.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pairs"))
+    head = P.select(F.col("pred").alias("head_pred"), "x", "y")
+
+    same = (P.select(F.col("pred").alias("_bp"), "x", "y")
+            .join(head, on=["x", "y"])
+            .filter(F.col("_bp") != F.col("head_pred"))
+            .groupBy("head_pred", F.col("_bp").alias("body"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .withColumn("kind", F.lit("same")))
+    inv = (P.select(F.col("pred").alias("_bp"),
+                    F.col("y").alias("x"), F.col("x").alias("y"))
+           .join(head, on=["x", "y"])
+           .groupBy("head_pred", F.col("_bp").alias("body"))
+           .agg(F.count(F.lit(1)).alias("support"))
+           .withColumn("kind", F.lit("inverse")))
+    # same/inverse body size = the body predicate's pair count
+    # (reversing pairs preserves cardinality)
+    rules = (same.unionByName(inv)
+             .join(F.broadcast(marg.select(F.col("pred").alias("body"),
+                                           F.col("n_pairs").alias("n_body"))),
+                   on="body"))
+
+    if chain:
+        left = P.select(F.col("pred").alias("q"), "x", F.col("y").alias("z"))
+        right = P.select(F.col("pred").alias("r"), F.col("x").alias("z"), "y")
+        if max_fanout is not None:
+            zin = (P.groupBy(F.col("y").alias("z"))
+                   .agg(F.count(F.lit(1)).alias("_in")))
+            zout = (P.groupBy(F.col("x").alias("z"))
+                    .agg(F.count(F.lit(1)).alias("_out")))
+            okz = (zin.join(zout, on="z")
+                   .filter((F.col("_in") <= max_fanout)
+                           & (F.col("_out") <= max_fanout))
+                   .select("z"))
+            left = left.join(okz, on="z")
+        body2 = (left.join(right, on="z")
+                 .select("q", "r", "x", "y").distinct())
+        cbody = (body2.groupBy("q", "r")
+                 .agg(F.count(F.lit(1)).alias("n_body")))
+        csup = (body2.join(head, on=["x", "y"])
+                .groupBy("head_pred", "q", "r")
+                .agg(F.count(F.lit(1)).alias("support")))
+        crules = (csup.join(F.broadcast(cbody), on=["q", "r"])
+                  .select("head_pred",
+                          F.concat_ws(" . ", "q", "r").alias("body"),
+                          "support", F.lit("chain").alias("kind"),
+                          "n_body"))
+        rules = rules.unionByName(crules)
+
+    out = (rules
+           .join(F.broadcast(marg.select(F.col("pred").alias("head_pred"),
+                                         F.col("n_pairs").alias("n_head"))),
+                 on="head_pred")
+           .withColumn("conf", F.round(F.col("support") / F.col("n_body"), 6))
+           .withColumn("head_cov",
+                       F.round(F.col("support") / F.col("n_head"), 6)))
+    return (out.filter((F.col("support") >= min_support)
+                       & (F.col("conf") >= min_conf))
+            .select("kind", "head_pred", "body", "support", "n_body",
+                    "n_head", "conf", "head_cov"))

@@ -157,3 +157,41 @@ def test_fact_timeline_intervals(spark):
         ("acme", "based_in", "paris", ts(8), None, 1),
         ("bob", "works_at", "acme", ts(1), None, 1),
     ])
+
+
+def test_mine_rules_shapes(spark):
+    from ner_extractor_spark.operators.kg_quality import mine_rules
+
+    # planted rules: spouse symmetric; ceo_of => works_at; chain
+    # born_in . city_in => citizen_of (2 of 3 bodies confirmed)
+    rows = [
+        ("a", "spouse", "b"), ("b", "spouse", "a"),
+        ("c", "spouse", "d"), ("d", "spouse", "c"),
+        ("p1", "ceo_of", "co1"), ("p1", "works_at", "co1"),
+        ("p2", "ceo_of", "co2"), ("p2", "works_at", "co2"),
+        ("p3", "works_at", "co3"),
+        ("p1", "born_in", "paris"), ("paris", "city_in", "fr"),
+        ("p1", "citizen_of", "fr"),
+        ("p2", "born_in", "lyon"), ("lyon", "city_in", "fr"),
+        ("p2", "citizen_of", "fr"),
+        ("p3", "born_in", "oslo"), ("oslo", "city_in", "no"),
+    ]
+    tri = spark.createDataFrame(
+        rows, "subj_surface string, pred string, obj_surface string")
+    got = {(r["kind"], r["head_pred"], r["body"]):
+           (r["support"], r["n_body"], r["n_head"], r["conf"])
+           for r in mine_rules(tri, min_conf=0.7).collect()}
+    # symmetry detector: spouse(y,x) => spouse(x,y), conf 1.0
+    assert got[("inverse", "spouse", "spouse")] == (4, 4, 4, 1.0)
+    # implication both ways, with asymmetric confidence
+    assert got[("same", "works_at", "ceo_of")] == (2, 2, 3, 1.0)
+    assert ("same", "ceo_of", "works_at") not in got  # conf 2/3 < 0.7
+    got_all = {(r["kind"], r["head_pred"], r["body"]): r["conf"]
+               for r in mine_rules(tri, min_conf=0.05).collect()}
+    assert got_all[("same", "ceo_of", "works_at")] == round(2 / 3, 6)
+    # composition: born_in . city_in => citizen_of, conf 2/3
+    assert got_all[("chain", "citizen_of", "born_in . city_in")] \
+        == round(2 / 3, 6)
+    # hub cap: max_fanout=0 kills every chain body
+    no_chain = mine_rules(tri, min_conf=0.05, max_fanout=0).collect()
+    assert not [r for r in no_chain if r["kind"] == "chain"]
