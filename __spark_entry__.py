@@ -1632,6 +1632,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.operators.kg_quality import mine_rules
         return mine_rules(_triples_df(spark, sf))
 
+    def kg_rule_infer(spark, sf):
+        # r06: KG completion — apply the conf>=0.5 mined rules back to
+        # the triple table; novel facts only, best rule per fact
+        from ner_extractor_spark.operators.kg_quality import (infer_facts,
+                                                              mine_rules)
+        # NO barrier on the raw triples: a localCheckpoint here
+        # materializes every extraction column and defeats pruning
+        # (measured 2x slower); the per-operator barriers land on the
+        # 3-column distinct pair table instead
+        tri = _triples_df(spark, sf)
+        return infer_facts(tri, mine_rules(tri), min_conf=0.5)
+
     def web_robots_filter(spark, sf):
         # r06: crawl-politeness gating — RFC 9309 longest-match rules
         # (broadcast per-host directive table; longer prefix wins, tie
@@ -1675,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_resolution": kg_fact_resolution,                # r06
         "kg_fact_timeline": kg_fact_timeline,                    # r06
         "kg_rule_mining": kg_rule_mining,                        # r06
+        "kg_rule_infer": kg_rule_infer,                          # r06
         "web_robots_filter": web_robots_filter,                  # r06
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
@@ -4680,9 +4693,9 @@ SELECT subj, pred, obj, valid_from,
 FROM tiv"""
 
     # kg_rule_mining: AMIE-style rules — every join keys on the entity
-    # pair; the chain body replays the max_fanout=64 hub cap exactly
-    d["kg_rule_mining"] = f"""
-WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+    # pair; the chain body replays the max_fanout=64 hub cap exactly.
+    # The CTE chain through rules_scored is shared with kg_rule_infer.
+    _RULES_CTES = """
 P AS (SELECT DISTINCT subj_surface AS x, pred, obj_surface AS y FROM tri),
 marg AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_pairs FROM P GROUP BY 1),
 same_r AS (
@@ -4719,15 +4732,51 @@ rules AS (
   FROM inv_r i JOIN marg m ON m.pred = i.body
   UNION ALL
   SELECT 'chain', c.head_pred, c.q || ' . ' || c.r, c.support, cb.n_body
-  FROM csup c JOIN cbody cb ON cb.q = c.q AND cb.r = c.r)
-SELECT kind, head_pred, body, support, n_body, n_head, conf, head_cov
-FROM (
+  FROM csup c JOIN cbody cb ON cb.q = c.q AND cb.r = c.r),
+rules_scored AS (
   SELECT r.kind, r.head_pred, r.body, r.support, r.n_body,
          mh.n_pairs AS n_head,
          round(r.support * 1.0 / r.n_body, 6) AS conf,
          round(r.support * 1.0 / mh.n_pairs, 6) AS head_cov
-  FROM rules r JOIN marg mh ON mh.pred = r.head_pred)
-WHERE support >= 2 AND conf >= 0.05"""
+  FROM rules r JOIN marg mh ON mh.pred = r.head_pred
+  WHERE r.support >= 2)"""
+
+    d["kg_rule_mining"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},{_RULES_CTES}
+SELECT kind, head_pred, body, support, n_body, n_head, conf, head_cov
+FROM rules_scored WHERE conf >= 0.05"""
+
+    # kg_rule_infer: apply rules with conf >= 0.5 back to P; novel
+    # facts only (anti-join on the triple identity); best rule per
+    # fact by (conf desc, kind asc, body asc)
+    d["kg_rule_infer"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},{_RULES_CTES},
+frules AS (
+  SELECT * FROM rules_scored WHERE conf >= 0.5),
+cand AS (
+  SELECT p.x AS x, r.head_pred, p.y AS y, r.kind, r.body, r.conf
+  FROM P p JOIN frules r ON r.kind = 'same' AND r.body = p.pred
+  UNION
+  SELECT p.y, r.head_pred, p.x, r.kind, r.body, r.conf
+  FROM P p JOIN frules r ON r.kind = 'inverse' AND r.body = p.pred
+  UNION
+  SELECT DISTINCT a.x, r.head_pred, b.y, r.kind, r.body, r.conf
+  FROM frules r
+  JOIN P a ON r.kind = 'chain'
+          AND a.pred = split_part(r.body, ' . ', 1)
+  JOIN zok ON a.y = zok.z
+  JOIN P b ON b.x = a.y AND b.pred = split_part(r.body, ' . ', 2)),
+novel AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN P e ON e.x = c.x AND e.pred = c.head_pred AND e.y = c.y
+  WHERE e.x IS NULL)
+SELECT subj, pred, obj, rule_kind, rule_body, conf FROM (
+  SELECT x AS subj, head_pred AS pred, y AS obj, kind AS rule_kind,
+         body AS rule_body, conf,
+         row_number() OVER (PARTITION BY x, head_pred, y
+           ORDER BY conf DESC, kind ASC, body ASC) AS rn
+  FROM novel)
+WHERE rn = 1"""
 
     # web_robots_filter: the uf url synthesis + host/path regex
     # replicas + RFC 9309 longest-match via an explicit window order

@@ -85,6 +85,7 @@ HEADLINE = [
     "web_anchor_aliases",        # r06: anchor-text alias mining
     "kg_fact_timeline",          # r06: gaps-and-islands validity intervals
     "kg_rule_mining",            # r06: AMIE-style rule discovery
+    "kg_rule_infer",             # r06: rule-based KG completion
 ]
 
 N_RUNS = 3          # interleaved passes per headline query

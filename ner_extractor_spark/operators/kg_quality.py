@@ -310,3 +310,84 @@ def mine_rules(triples: DataFrame, *, min_support: int = 2,
                        & (F.col("conf") >= min_conf))
             .select("kind", "head_pred", "body", "support", "n_body",
                     "n_head", "conf", "head_cov"))
+
+
+def infer_facts(triples: DataFrame, rules: DataFrame, *,
+                min_conf: float = 0.5, max_fanout: int | None = 64,
+                materialize: bool = True,
+                subj_col: str = "subj_surface",
+                obj_col: str = "obj_surface") -> DataFrame:
+    """KG completion: apply ``mine_rules`` output back to the triple
+    table and materialize the facts the rules PREDICT but the KG does
+    not yet contain — (subj, pred, obj, rule_kind, rule_body, conf),
+    one row per novel fact, attributed to the highest-confidence rule
+    that fires for it (ties: kind asc, body asc — fully
+    deterministic).
+
+    Candidates per rule kind: ``same`` q(x,y)=>p(x,y) maps each body
+    triple; ``inverse`` q(y,x)=>p(x,y) maps the reversed pair (a
+    symmetric predicate back-fills its missing mirror edges);
+    ``chain`` q(x,z)^r(z,y)=>p(x,y) re-runs the capped two-hop join
+    restricted to predicates that appear in a surviving rule body.
+    Existing facts are removed with a LEFT ANTI join on the full
+    (x, pred, y) identity.
+
+    Scale shape: the rule table is broadcast (output of rule mining —
+    hundreds of rows at most); candidate generation and the anti-join
+    key on the entity pair / triple identity; the chain hop reuses
+    the ``max_fanout`` hub cap.  ``materialize`` barriers the distinct
+    pair table exactly as in ``mine_rules``."""
+    P = (triples.select(F.col(subj_col).alias("x"), "pred",
+                        F.col(obj_col).alias("y"))
+         .distinct())
+    if materialize:
+        P = P.localCheckpoint()
+    r = rules.filter(F.col("conf") >= min_conf).select(
+        "kind", "head_pred", "body", "conf")
+
+    same_c = (P.join(F.broadcast(r.filter(F.col("kind") == "same")),
+                     on=P["pred"] == F.col("body"))
+              .select("x", "head_pred", "y", "kind", "body", "conf"))
+    inv_c = (P.join(F.broadcast(r.filter(F.col("kind") == "inverse")),
+                    on=P["pred"] == F.col("body"))
+             .select(F.col("y").alias("x"), "head_pred",
+                     F.col("x").alias("y"), "kind", "body", "conf"))
+
+    rc = (r.filter(F.col("kind") == "chain")
+          .withColumn("_q", F.split_part(F.col("body"), F.lit(" . "),
+                                         F.lit(1)))
+          .withColumn("_r", F.split_part(F.col("body"), F.lit(" . "),
+                                         F.lit(2))))
+    left = P.select(F.col("pred").alias("_q"), "x", F.col("y").alias("z"))
+    if max_fanout is not None:
+        zin = (P.groupBy(F.col("y").alias("z"))
+               .agg(F.count(F.lit(1)).alias("_in")))
+        zout = (P.groupBy(F.col("x").alias("z"))
+                .agg(F.count(F.lit(1)).alias("_out")))
+        okz = (zin.join(zout, on="z")
+               .filter((F.col("_in") <= max_fanout)
+                       & (F.col("_out") <= max_fanout))
+               .select("z"))
+        left = left.join(okz, on="z")
+    right = P.select(F.col("pred").alias("_r"), F.col("x").alias("z"), "y")
+    chain_c = (left.join(F.broadcast(rc), on="_q")
+               .join(right, on=["z", "_r"])
+               .select("x", "head_pred", "y", "kind", "body", "conf")
+               .distinct())
+
+    cand = same_c.unionByName(inv_c).unionByName(chain_c).distinct()
+    existing = P.select(F.col("x").alias("_ex"), F.col("pred").alias("_ep"),
+                        F.col("y").alias("_ey"))
+    novel = cand.join(
+        existing, on=[cand["x"] == existing["_ex"],
+                      cand["head_pred"] == existing["_ep"],
+                      cand["y"] == existing["_ey"]], how="left_anti")
+    w = W.partitionBy("x", "head_pred", "y").orderBy(
+        F.col("conf").desc(), F.col("kind").asc(), F.col("body").asc())
+    return (novel.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("x").alias("subj"),
+                    F.col("head_pred").alias("pred"),
+                    F.col("y").alias("obj"),
+                    F.col("kind").alias("rule_kind"),
+                    F.col("body").alias("rule_body"), "conf"))

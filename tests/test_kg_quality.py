@@ -195,3 +195,40 @@ def test_mine_rules_shapes(spark):
     # hub cap: max_fanout=0 kills every chain body
     no_chain = mine_rules(tri, min_conf=0.05, max_fanout=0).collect()
     assert not [r for r in no_chain if r["kind"] == "chain"]
+
+
+def test_infer_facts_completion(spark):
+    from ner_extractor_spark.operators.kg_quality import (infer_facts,
+                                                          mine_rules)
+
+    rows = [
+        # spouse symmetric but MISSING the (e,f) mirror edge
+        ("a", "spouse", "b"), ("b", "spouse", "a"),
+        ("c", "spouse", "d"), ("d", "spouse", "c"),
+        ("e", "spouse", "f"),
+        # ceo_of => works_at; p3's works_at edge missing
+        ("p1", "ceo_of", "co1"), ("p1", "works_at", "co1"),
+        ("p2", "ceo_of", "co2"), ("p2", "works_at", "co2"),
+        ("p3", "ceo_of", "co3"),
+        # chain born_in . city_in => citizen_of; p3's citizenship missing
+        ("p1", "born_in", "paris"), ("paris", "city_in", "fr"),
+        ("p1", "citizen_of", "fr"),
+        ("p2", "born_in", "lyon"), ("lyon", "city_in", "fr"),
+        ("p2", "citizen_of", "fr"),
+        ("p3", "born_in", "oslo"), ("oslo", "city_in", "no"),
+    ]
+    tri = spark.createDataFrame(
+        rows, "subj_surface string, pred string, obj_surface string")
+    rules = mine_rules(tri, min_conf=0.05)
+    got = {(r["subj"], r["pred"], r["obj"]): (r["rule_kind"], r["conf"])
+           for r in infer_facts(tri, rules, min_conf=0.6).collect()}
+    # the missing mirror edge is back-filled by the symmetry rule
+    assert got[("f", "spouse", "e")][0] == "inverse"
+    # the missing employment edge from the implication rule
+    # (ceo_of has 3 pairs here, 2 confirmed -> conf 2/3)
+    assert got[("p3", "works_at", "co3")] == ("same", round(2 / 3, 6))
+    # the missing citizenship from the composition rule (conf 2/3)
+    assert got[("p3", "citizen_of", "no")][0] == "chain"
+    # nothing already in the KG is re-asserted
+    assert ("a", "spouse", "b") not in got
+    assert all(k not in {(s, p, o) for s, p, o in rows} for k in got)
