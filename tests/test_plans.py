@@ -232,3 +232,18 @@ def test_transe_round_has_no_cartesian_and_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rule_mining_barrier_and_no_cartesian(spark):
+    # the distinct pair table feeds ~8 consumers through ONE
+    # localCheckpoint barrier (ExistingRDD leaves, no re-extraction);
+    # predicate marginals broadcast; no cartesian anywhere
+    from ner_extractor_spark.operators.kg_quality import mine_rules
+    tri = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "a"), ("a", "q", "b")],
+        "subj_surface string, pred string, obj_surface string")
+    plan = mine_rules(tri)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every P consumer reads the barrier leaf, not the source table
+    assert plan.count("ExistingRDD") >= 6, plan.count("ExistingRDD")
