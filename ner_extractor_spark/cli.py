@@ -70,6 +70,10 @@ def main(argv=None):
                          "page source (crawl-native input; implies "
                          "--use-html)")
     kg.add_argument("--run-id", default=None)
+    kg.add_argument("--rules", action="store_true",
+                    help="mine AMIE-style rules over the canonical "
+                         "triples and back-fill rule-inferred facts "
+                         "(<workdir>/rules, <workdir>/inferred)")
 
     cu = sub.add_parser("curate",
                         help="run the corpus-curation keep/drop verdict")
@@ -209,12 +213,26 @@ def main(argv=None):
     res = run_kg_pipeline(spark, pages, aliases, synth.tagger_dictionary(),
                           workdir, lang=lang, run_id=run_id,
                           use_html=run["use_html"])
-    print(json.dumps({
+    out = {
         "sentences": res.sentences.count(),
         "mentions": res.mentions.count(),
         "triples": res.triples.count(),
         "workdir": workdir,
-    }))
+    }
+    if getattr(args, "rules", False):
+        # over the CANONICAL triples (post alias-linking) — mining on
+        # Q-ids, not raw surfaces, so aliases don't split rule support
+        from ner_extractor_spark.operators.kg_quality import (infer_facts,
+                                                              mine_rules)
+        rules = mine_rules(res.triples, subj_col="subj", obj_col="obj")
+        rules.write.mode("overwrite").parquet(f"{workdir}/rules")
+        rules = spark.read.parquet(f"{workdir}/rules")
+        inferred = infer_facts(res.triples, rules, min_conf=0.5,
+                               subj_col="subj", obj_col="obj")
+        inferred.write.mode("overwrite").parquet(f"{workdir}/inferred")
+        out["rules"] = rules.count()
+        out["inferred"] = spark.read.parquet(f"{workdir}/inferred").count()
+    print(json.dumps(out))
     spark.stop()
 
 
