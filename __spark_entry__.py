@@ -1624,6 +1624,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fact_timeline
         return fact_timeline(_triples_df(spark, sf), _pages(spark, sf))
 
+    def kg_facts_asof(spark, sf):
+        # r06: time-travel the temporal KG — the belief set at a fixed
+        # instant T (pure interval filter over the timeline)
+        from ner_extractor_spark.operators.kg_quality import (facts_asof,
+                                                              fact_timeline)
+        tl = fact_timeline(_triples_df(spark, sf), _pages(spark, sf))
+        return facts_asof(tl, "2024-01-01 00:04:10")
+
     def kg_rule_mining(spark, sf):
         # r06: AMIE-style horn-rule mining — same-direction /
         # inverse (symmetry) / chain (composition) rules scored by
@@ -1686,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_aliases": web_anchor_aliases,                # r06
         "kg_fact_resolution": kg_fact_resolution,                # r06
         "kg_fact_timeline": kg_fact_timeline,                    # r06
+        "kg_facts_asof": kg_facts_asof,                          # r06
         "kg_rule_mining": kg_rule_mining,                        # r06
         "kg_rule_infer": kg_rule_infer,                          # r06
         "web_robots_filter": web_robots_filter,                  # r06
@@ -4651,9 +4660,9 @@ SELECT subj, pred, obj, n_sources, n_mentions,
 FROM frk WHERE rn = 1"""
 
     # kg_fact_timeline: gaps-and-islands over capture-ordered
-    # observations (same pts warc_ts derivation)
-    d["kg_fact_timeline"] = f"""
-WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+    # observations (same pts warc_ts derivation).  The CTE chain
+    # through tl is shared with kg_facts_asof.
+    _TIMELINE_CTES = """
 pts AS (
   SELECT url,
          TIMESTAMP '2024-01-01 00:00:00'
@@ -4685,12 +4694,24 @@ tiv AS (
   SELECT subj, pred, seg, any_value(obj) AS obj,
          min(ts) AS valid_from, CAST(sum(n) AS BIGINT) AS n_obs
   FROM tseg GROUP BY 1, 2, 3
-)
-SELECT subj, pred, obj, valid_from,
-       lead(valid_from) OVER (PARTITION BY subj, pred ORDER BY seg)
-         AS valid_to,
-       n_obs
-FROM tiv"""
+),
+tline AS (
+  SELECT subj, pred, obj, valid_from,
+         lead(valid_from) OVER (PARTITION BY subj, pred ORDER BY seg)
+           AS valid_to,
+         n_obs
+  FROM tiv)"""
+
+    d["kg_fact_timeline"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},{_TIMELINE_CTES}
+SELECT subj, pred, obj, valid_from, valid_to, n_obs FROM tline"""
+
+    # kg_facts_asof: time-travel snapshot — the belief set at T
+    d["kg_facts_asof"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},{_TIMELINE_CTES}
+SELECT subj, pred, obj, valid_from, valid_to, n_obs FROM tline
+WHERE valid_from <= TIMESTAMP '2024-01-01 00:04:10'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-01 00:04:10')"""
 
     # kg_rule_mining: AMIE-style rules — every join keys on the entity
     # pair; the chain body replays the max_fanout=64 hub cap exactly.

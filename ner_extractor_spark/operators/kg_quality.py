@@ -391,3 +391,17 @@ def infer_facts(triples: DataFrame, rules: DataFrame, *,
                     F.col("y").alias("obj"),
                     F.col("kind").alias("rule_kind"),
                     F.col("body").alias("rule_body"), "conf"))
+
+
+def facts_asof(timeline: DataFrame, ts) -> DataFrame:
+    """Time-travel the temporal KG: the facts VALID at instant ``ts``
+    — one row per (subj, pred) interval covering ts (``fact_timeline``
+    guarantees intervals within a (subj, pred) are disjoint).  A pure
+    partition-prunable filter over the interval table: valid_from <=
+    ts < valid_to (NULL valid_to = still current)."""
+    t = F.lit(ts).cast("timestamp")
+    return (timeline.filter((F.col("valid_from") <= t)
+                            & (F.col("valid_to").isNull()
+                               | (F.col("valid_to") > t)))
+            .select("subj", "pred", "obj", "valid_from", "valid_to",
+                    "n_obs"))

@@ -232,3 +232,35 @@ def test_infer_facts_completion(spark):
     # nothing already in the KG is re-asserted
     assert ("a", "spouse", "b") not in got
     assert all(k not in {(s, p, o) for s, p, o in rows} for k in got)
+
+
+def test_facts_asof_snapshot(spark):
+    import datetime as dt
+    from ner_extractor_spark.operators.kg_quality import (fact_timeline,
+                                                          facts_asof)
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    tri = spark.createDataFrame(
+        [("u1", "acme", "based_in", "paris"),
+         ("u5", "acme", "based_in", "tokyo"),
+         ("u8", "acme", "based_in", "paris"),
+         ("u1", "bob", "works_at", "acme")],
+        "url string, subj_surface string, pred string, obj_surface string")
+    pages = spark.createDataFrame(
+        [("u1", ts(1)), ("u5", ts(5)), ("u8", ts(8))],
+        "url string, warc_ts timestamp")
+    tl = fact_timeline(tri, pages).localCheckpoint()
+    # at t=6 the belief is tokyo; at t=9 it is paris again; at t=0
+    # nothing is known yet
+    at6 = {(r["subj"], r["pred"]): r["obj"]
+           for r in facts_asof(tl, ts(6)).collect()}
+    assert at6[("acme", "based_in")] == "tokyo"
+    assert at6[("bob", "works_at")] == "acme"
+    at9 = {(r["subj"], r["pred"]): r["obj"]
+           for r in facts_asof(tl, ts(9)).collect()}
+    assert at9[("acme", "based_in")] == "paris"
+    assert facts_asof(tl, ts(0)).count() == 0
+    # exactly one belief per (subj, pred) at any instant
+    assert len(at6) == facts_asof(tl, ts(6)).count()
