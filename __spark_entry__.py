@@ -1632,6 +1632,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tl = fact_timeline(_triples_df(spark, sf), _pages(spark, sf))
         return facts_asof(tl, "2024-01-01 00:04:10")
 
+    def kg_entity_salience(spark, sf):
+        # r06: per-document entity salience (freq share + first-mention
+        # earliness + sentence spread), top-5 per page — the doc-level
+        # entity index a KG serves lookups from
+        from ner_extractor_spark.operators.kg_quality import \
+            entity_salience
+        return entity_salience(_mentions(spark, sf),
+                               _sentences(spark, sf), top_k=5)
+
     def kg_rule_mining(spark, sf):
         # r06: AMIE-style horn-rule mining — same-direction /
         # inverse (symmetry) / chain (composition) rules scored by
@@ -1695,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_resolution": kg_fact_resolution,                # r06
         "kg_fact_timeline": kg_fact_timeline,                    # r06
         "kg_facts_asof": kg_facts_asof,                          # r06
+        "kg_entity_salience": kg_entity_salience,                # r06
         "kg_rule_mining": kg_rule_mining,                        # r06
         "kg_rule_infer": kg_rule_infer,                          # r06
         "web_robots_filter": web_robots_filter,                  # r06
@@ -4712,6 +4722,36 @@ WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},{_TIMELINE_CTES}
 SELECT subj, pred, obj, valid_from, valid_to, n_obs FROM tline
 WHERE valid_from <= TIMESTAMP '2024-01-01 00:04:10'
   AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-01 00:04:10')"""
+
+    # kg_entity_salience: entity-keyed agg + two url rollups + per-url
+    # rank; formula replicated literally (freq share, earliness,
+    # sentence spread)
+    d["kg_entity_salience"] = f"""
+WITH {MEN_SQL},
+dm AS (SELECT url, CAST(count(*) AS BIGINT) AS doc_mentions
+       FROM men GROUP BY 1),
+ds AS (SELECT url, CAST(count(*) AS BIGINT) AS doc_sents
+       FROM sents GROUP BY 1),
+em AS (
+  SELECT url, surface, label,
+         CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(min(sent_id) AS INT) AS first_sent,
+         CAST(count(DISTINCT sent_id) AS BIGINT) AS n_sents
+  FROM men GROUP BY 1, 2, 3),
+sal AS (
+  SELECT e.url, e.surface, e.label, e.n_mentions, e.first_sent,
+         e.n_sents,
+         round(0.5 * e.n_mentions / dm.doc_mentions
+               + 0.3 / (1 + e.first_sent)
+               + 0.2 * e.n_sents / ds.doc_sents, 6) AS salience
+  FROM em e JOIN dm USING (url) JOIN ds USING (url))
+SELECT url, surface, label, n_mentions, first_sent, n_sents,
+       salience, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY url
+    ORDER BY salience DESC, surface ASC, label ASC) AS INT) AS rank
+  FROM sal)
+WHERE rank <= 5"""
 
     # kg_rule_mining: AMIE-style rules — every join keys on the entity
     # pair; the chain body replays the max_fanout=64 hub cap exactly.

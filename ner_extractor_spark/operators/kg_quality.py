@@ -405,3 +405,46 @@ def facts_asof(timeline: DataFrame, ts) -> DataFrame:
                                | (F.col("valid_to") > t)))
             .select("subj", "pred", "obj", "valid_from", "valid_to",
                     "n_obs"))
+
+
+def entity_salience(mentions: DataFrame, sentences: DataFrame,
+                    top_k: int | None = None) -> DataFrame:
+    """Per-document entity salience — the standard entity-indexing
+    signal (which entities a page is ABOUT, vs merely mentions): for
+    each (url, surface, label),
+
+      salience = 0.5 * freq_share        (mentions / doc mentions)
+               + 0.3 / (1 + first_sent)  (earlier first mention wins)
+               + 0.2 * spread            (distinct sentences / doc
+                                          sentences)
+
+    plus a per-document rank (salience desc, surface asc, label asc —
+    fully deterministic).  ``top_k`` keeps the leading entities per
+    page (the doc-level entity index a KG serves lookups from).
+
+    Scale shape: one entity-keyed aggregation plus two url-keyed
+    rollups (doc mention / sentence totals), all joined back on url —
+    Catalyst reuses ONE url hash-partitioning across the joins and the
+    per-url ranking window, whose frame is bounded by
+    entities-per-document."""
+    em = (mentions.groupBy("url", "surface", "label")
+          .agg(F.count(F.lit(1)).alias("n_mentions"),
+               F.min("sent_id").alias("first_sent"),
+               F.countDistinct("sent_id").alias("n_sents")))
+    dm = (mentions.groupBy("url")
+          .agg(F.count(F.lit(1)).alias("_doc_mentions")))
+    ds = (sentences.groupBy("url")
+          .agg(F.count(F.lit(1)).alias("_doc_sents")))
+    sal = F.round(
+        0.5 * F.col("n_mentions") / F.col("_doc_mentions")
+        + 0.3 / (1 + F.col("first_sent"))
+        + 0.2 * F.col("n_sents") / F.col("_doc_sents"), 6)
+    w = W.partitionBy("url").orderBy(F.col("salience").desc(),
+                                     F.col("surface").asc(),
+                                     F.col("label").asc())
+    out = (em.join(dm, on="url").join(ds, on="url")
+           .withColumn("salience", sal)
+           .withColumn("rank", F.row_number().over(w))
+           .select("url", "surface", "label", "n_mentions", "first_sent",
+                   "n_sents", "salience", "rank"))
+    return out.filter(F.col("rank") <= top_k) if top_k else out

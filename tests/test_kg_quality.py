@@ -264,3 +264,36 @@ def test_facts_asof_snapshot(spark):
     assert facts_asof(tl, ts(0)).count() == 0
     # exactly one belief per (subj, pred) at any instant
     assert len(at6) == facts_asof(tl, ts(6)).count()
+
+
+def test_entity_salience_ordering(spark):
+    from ner_extractor_spark.operators.kg_quality import entity_salience
+
+    # u1: acme mentioned 3x from sentence 0 across 2 sents; bob once,
+    # late — acme must outrank bob.  u2 exercises the tie-break.
+    men = spark.createDataFrame(
+        [("u1", 0, 0, 0, "acme", "ORG"),
+         ("u1", 0, 3, 3, "acme", "ORG"),
+         ("u1", 1, 0, 0, "acme", "ORG"),
+         ("u1", 2, 0, 0, "bob", "PER"),
+         ("u2", 0, 0, 0, "aa", "ORG"),
+         ("u2", 0, 2, 2, "bb", "ORG")],
+        "url string, sent_id int, start int, end int, surface string, "
+        "label string")
+    sents = spark.createDataFrame(
+        [("u1", i) for i in range(3)] + [("u2", 0)],
+        "url string, sent_id int")
+    rows = {(r["url"], r["surface"]): r
+            for r in entity_salience(men, sents).collect()}
+    a, b = rows[("u1", "acme")], rows[("u1", "bob")]
+    assert (a["n_mentions"], a["first_sent"], a["n_sents"]) == (3, 0, 2)
+    assert a["salience"] == round(0.5 * 3 / 4 + 0.3 / 1 + 0.2 * 2 / 3, 6)
+    assert b["salience"] == round(0.5 * 1 / 4 + 0.3 / 3 + 0.2 * 1 / 3, 6)
+    assert (a["rank"], b["rank"]) == (1, 2)
+    # identical stats on u2 -> surface asc breaks the tie
+    assert rows[("u2", "aa")]["rank"] == 1
+    assert rows[("u2", "bb")]["rank"] == 2
+    # top_k filters per document
+    top1 = entity_salience(men, sents, top_k=1).collect()
+    assert {(r["url"], r["surface"]) for r in top1} == \
+        {("u1", "acme"), ("u2", "aa")}
