@@ -86,6 +86,7 @@ HEADLINE = [
     "kg_fact_timeline",          # r06: gaps-and-islands validity intervals
     "kg_rule_mining",            # r06: AMIE-style rule discovery
     "kg_rule_infer",             # r06: rule-based KG completion
+    "kg_entity_salience",        # r06: per-doc entity importance index
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
