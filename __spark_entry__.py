@@ -1641,6 +1641,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return entity_salience(_mentions(spark, sf),
                                _sentences(spark, sf), top_k=5)
 
+    def kg_functional_resolution(spark, sf):
+        # r06: truth discovery with the predicate list AUTO-DETECTED
+        # from the functionality profile (no hand-curated schema);
+        # 0.35 keeps the most-functional predicate of the synth KG
+        from ner_extractor_spark.operators.kg_quality import \
+            resolve_functional_facts
+        return resolve_functional_facts(_triples_df(spark, sf),
+                                        _pages(spark, sf),
+                                        functional_threshold=0.35)
+
+    def kg_predicate_stats(spark, sf):
+        # r06: per-predicate schema profile — AMIE functionality /
+        # inverse functionality over distinct facts; is_functional
+        # feeds resolve_facts without a hand-curated schema
+        from ner_extractor_spark.operators.kg_quality import \
+            predicate_stats
+        return predicate_stats(_triples_df(spark, sf))
+
     def kg_rule_mining(spark, sf):
         # r06: AMIE-style horn-rule mining — same-direction /
         # inverse (symmetry) / chain (composition) rules scored by
@@ -1705,6 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_timeline": kg_fact_timeline,                    # r06
         "kg_facts_asof": kg_facts_asof,                          # r06
         "kg_entity_salience": kg_entity_salience,                # r06
+        "kg_predicate_stats": kg_predicate_stats,                # r06
+        "kg_functional_resolution": kg_functional_resolution,    # r06
         "kg_rule_mining": kg_rule_mining,                        # r06
         "kg_rule_infer": kg_rule_infer,                          # r06
         "web_robots_filter": web_robots_filter,                  # r06
@@ -4722,6 +4742,61 @@ WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},{_TIMELINE_CTES}
 SELECT subj, pred, obj, valid_from, valid_to, n_obs FROM tline
 WHERE valid_from <= TIMESTAMP '2024-01-01 00:04:10'
   AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-01 00:04:10')"""
+
+    # kg_functional_resolution: the fact_resolution vote restricted to
+    # predicates the functionality profile auto-detects (>= 0.35)
+    d["kg_functional_resolution"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+pts AS (
+  SELECT url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT))
+           AS warc_ts
+  FROM pages
+),
+Pd AS (SELECT DISTINCT pred, subj_surface AS s, obj_surface AS o FROM tri),
+fpred AS (
+  SELECT pred FROM (
+    SELECT pred, count(*) AS nf, count(DISTINCT s) AS ns
+    FROM Pd GROUP BY 1)
+  WHERE round(ns * 1.0 / nf, 6) >= 0.35),
+prov AS (
+  SELECT t.subj_surface AS subj, t.pred, t.obj_surface AS obj,
+         CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(count(DISTINCT t.url) AS BIGINT) AS n_sources,
+         min(p.warc_ts) AS first_seen
+  FROM tri t JOIN pts p USING (url) JOIN fpred f USING (pred)
+  GROUP BY 1, 2, 3
+),
+frk AS (
+  SELECT subj, pred, obj, n_sources, n_mentions,
+         row_number() OVER (PARTITION BY subj, pred
+           ORDER BY n_sources DESC, n_mentions DESC, first_seen ASC,
+                    obj ASC) AS rn,
+         sum(n_mentions) OVER (PARTITION BY subj, pred) AS total,
+         count(*) OVER (PARTITION BY subj, pred) AS n_alts
+  FROM prov
+)
+SELECT subj, pred, obj, n_sources, n_mentions,
+       CAST(n_alts AS BIGINT) AS n_alternatives,
+       round(n_mentions / total, 6) AS support_share
+FROM frk WHERE rn = 1"""
+
+    # kg_predicate_stats: distinct facts -> pred-keyed profile with
+    # AMIE functionality; threshold replicated literally
+    d["kg_predicate_stats"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+P AS (SELECT DISTINCT pred, subj_surface AS s, obj_surface AS o FROM tri),
+st AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_facts,
+         CAST(count(DISTINCT s) AS BIGINT) AS n_subj,
+         CAST(count(DISTINCT o) AS BIGINT) AS n_obj
+  FROM P GROUP BY 1)
+SELECT pred, n_facts, n_subj, n_obj,
+       round(n_subj * 1.0 / n_facts, 6) AS functionality,
+       round(n_obj * 1.0 / n_facts, 6) AS inv_functionality,
+       round(n_subj * 1.0 / n_facts, 6) >= 0.8 AS is_functional
+FROM st"""
 
     # kg_entity_salience: entity-keyed agg + two url rollups + per-url
     # rank; formula replicated literally (freq share, earliness,

@@ -87,6 +87,7 @@ HEADLINE = [
     "kg_rule_mining",            # r06: AMIE-style rule discovery
     "kg_rule_infer",             # r06: rule-based KG completion
     "kg_entity_salience",        # r06: per-doc entity importance index
+    "kg_predicate_stats",        # r06: AMIE functionality profile
 ]
 
 N_RUNS = 3          # interleaved passes per headline query

@@ -448,3 +448,51 @@ def entity_salience(mentions: DataFrame, sentences: DataFrame,
            .select("url", "surface", "label", "n_mentions", "first_sent",
                    "n_sents", "salience", "rank"))
     return out.filter(F.col("rank") <= top_k) if top_k else out
+
+
+def predicate_stats(triples: DataFrame,
+                    subj_col: str = "subj_surface",
+                    obj_col: str = "obj_surface",
+                    functional_threshold: float = 0.8) -> DataFrame:
+    """Per-predicate KG schema profile: (pred, n_facts, n_subj, n_obj,
+    functionality, inv_functionality, is_functional) over DISTINCT
+    facts.  ``functionality`` = n_subj / n_facts (AMIE's measure — 1.0
+    means every subject has exactly one object, i.e. the predicate is
+    functional and eligible for single-truth resolution);
+    ``is_functional`` thresholds it, giving ``resolve_facts`` its
+    predicate list WITHOUT a hand-curated schema.
+
+    Scale shape: one distinct + one pred-keyed aggregation with two
+    count(DISTINCT) (standard two-phase expand-aggregate); output is
+    predicate-vocabulary-sized — collectable/broadcastable by
+    nature."""
+    P = (triples.select("pred", F.col(subj_col).alias("s"),
+                        F.col(obj_col).alias("o"))
+         .distinct())
+    fun = F.round(F.col("n_subj") / F.col("n_facts"), 6)
+    inv = F.round(F.col("n_obj") / F.col("n_facts"), 6)
+    return (P.groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n_facts"),
+                 F.countDistinct("s").alias("n_subj"),
+                 F.countDistinct("o").alias("n_obj"))
+            .withColumn("functionality", fun)
+            .withColumn("inv_functionality", inv)
+            .withColumn("is_functional",
+                        fun >= F.lit(functional_threshold)))
+
+
+def resolve_functional_facts(triples: DataFrame, pages: DataFrame,
+                             functional_threshold: float = 0.8
+                             ) -> DataFrame:
+    """``resolve_facts`` with its predicate list AUTO-DETECTED from
+    ``predicate_stats`` — single-truth resolution applied exactly to
+    the predicates whose functionality clears the threshold, no
+    hand-curated schema.  The collect is bounded by the predicate
+    vocabulary (small by nature; the entity vocabulary is the big
+    one)."""
+    stats = predicate_stats(triples,
+                            functional_threshold=functional_threshold)
+    preds = [r["pred"]
+             for r in stats.filter(F.col("is_functional")).collect()]
+    return resolve_facts(triple_provenance(triples, pages),
+                         functional_preds=preds)

@@ -297,3 +297,52 @@ def test_entity_salience_ordering(spark):
     top1 = entity_salience(men, sents, top_k=1).collect()
     assert {(r["url"], r["surface"]) for r in top1} == \
         {("u1", "acme"), ("u2", "aa")}
+
+
+def test_predicate_stats_functionality(spark):
+    from ner_extractor_spark.operators.kg_quality import predicate_stats
+
+    rows = [
+        # based_in: every subject one object (functional), duplicate
+        # mention collapses
+        ("a", "based_in", "paris"), ("a", "based_in", "paris"),
+        ("b", "based_in", "tokyo"),
+        # knows: a -> two objects (non-functional)
+        ("a", "knows", "b"), ("a", "knows", "c"), ("b", "knows", "c"),
+    ]
+    tri = spark.createDataFrame(
+        rows, "subj_surface string, pred string, obj_surface string")
+    got = {r["pred"]: r for r in predicate_stats(tri).collect()}
+    bi = got["based_in"]
+    assert (bi["n_facts"], bi["n_subj"], bi["n_obj"]) == (2, 2, 2)
+    assert bi["functionality"] == 1.0 and bi["is_functional"]
+    kn = got["knows"]
+    assert (kn["n_facts"], kn["n_subj"]) == (3, 2)
+    assert kn["functionality"] == round(2 / 3, 6)
+    assert not kn["is_functional"]
+
+
+def test_resolve_functional_facts_autodetect(spark):
+    import datetime as dt
+    from ner_extractor_spark.operators.kg_quality import \
+        resolve_functional_facts
+
+    tri = spark.createDataFrame(
+        [("u1", "acme", "based_in", "paris"),
+         ("u2", "acme", "based_in", "tokyo"),   # conflict -> vote
+         ("u1", "b", "based_in", "lyon"),
+         ("u1", "a", "knows", "b"), ("u1", "a", "knows", "c"),
+         ("u2", "b", "knows", "c"), ("u2", "c", "knows", "a")],
+        "url string, subj_surface string, pred string, obj_surface string")
+    pages = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1)), ("u2", dt.datetime(2024, 1, 2))],
+        "url string, warc_ts timestamp")
+    # based_in functionality 2/3 ~= 0.67; knows 3/4 = 0.75 -> at 0.6
+    # both resolve, at 0.7 only knows, at the 0.8 default neither
+    out = resolve_functional_facts(tri, pages, functional_threshold=0.6)
+    got = {(r["subj"], r["pred"]): r["obj"] for r in out.collect()}
+    assert got[("acme", "based_in")] == "paris"   # earlier capture wins
+    assert ("a", "knows") in got
+    at07 = resolve_functional_facts(tri, pages, functional_threshold=0.7)
+    assert {r["pred"] for r in at07.collect()} == {"knows"}
+    assert resolve_functional_facts(tri, pages).count() == 0
