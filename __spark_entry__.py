@@ -1641,6 +1641,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return entity_salience(_mentions(spark, sf),
                                _sentences(spark, sf), top_k=5)
 
+    def kg_link_coherent(spark, sf):
+        # r06: document-coherence disambiguation — the ambiguous
+        # 'spark' alias (Q-1 prior 1.0 vs Q-1B prior 0.5) resolves to
+        # Q-1B exactly in documents whose context contains the entity
+        # Q-1B is related to (window/Q-4), prior elsewhere
+        from ner_extractor_spark.operators.link import link_coherent
+        rel = spark.createDataFrame([("Q-1B", "Q-4", 3.0)],
+                                    "qa string, qb string, w double")
+        return link_coherent(_mentions(spark, sf), _aliases_df(spark),
+                             relatedness=rel)
+
     def kg_functional_resolution(spark, sf):
         # r06: truth discovery with the predicate list AUTO-DETECTED
         # from the functionality profile (no hand-curated schema);
@@ -1725,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_salience": kg_entity_salience,                # r06
         "kg_predicate_stats": kg_predicate_stats,                # r06
         "kg_functional_resolution": kg_functional_resolution,    # r06
+        "kg_link_coherent": kg_link_coherent,                    # r06
         "kg_rule_mining": kg_rule_mining,                        # r06
         "kg_rule_infer": kg_rule_infer,                          # r06
         "web_robots_filter": web_robots_filter,                  # r06
@@ -4742,6 +4754,39 @@ WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},{_TIMELINE_CTES}
 SELECT subj, pred, obj, valid_from, valid_to, n_obs FROM tline
 WHERE valid_from <= TIMESTAMP '2024-01-01 00:04:10'
   AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-01 00:04:10')"""
+
+    # kg_link_coherent: coherence disambiguation — candidates scored
+    # by relatedness to the doc's unambiguous entities, prior fallback
+    d["kg_link_coherent"] = f"""
+WITH {MEN_SQL},
+aliases(alias_norm, entity_id, entity_type, prior) AS (VALUES {ALIAS_VALUES}),
+rel(qa, qb, w) AS (VALUES ('Q-1B', 'Q-4', 3.0)),
+ac AS (SELECT alias_norm, CAST(count(DISTINCT entity_id) AS BIGINT) AS n_cand
+       FROM aliases GROUP BY 1),
+cand AS (
+  SELECT m.url, m.sent_id, m.start, m."end", m.surface,
+         a.entity_id, a.prior, ac.n_cand
+  FROM men m
+  JOIN aliases a
+    ON trim(regexp_replace(lower(m.surface), '\\s+', ' ', 'g')) = a.alias_norm
+  JOIN ac ON ac.alias_norm = a.alias_norm),
+ctx AS (
+  SELECT DISTINCT url, entity_id AS ctx_id FROM cand WHERE n_cand = 1),
+scored AS (
+  SELECT c.url, c.sent_id, c.start, c."end", c.surface, c.entity_id,
+         c.prior, c.n_cand,
+         CAST(sum(COALESCE(r.w, 0.0)) AS DOUBLE) AS score
+  FROM cand c
+  LEFT JOIN ctx x ON x.url = c.url
+  LEFT JOIN rel r ON r.qa = c.entity_id AND r.qb = x.ctx_id
+  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)
+SELECT url, sent_id, start, "end", surface, entity_id, prior, n_cand,
+       score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY url, sent_id, start, "end"
+    ORDER BY score DESC, prior DESC, entity_id ASC) AS rk
+  FROM scored)
+WHERE rk = 1"""
 
     # kg_functional_resolution: the fact_resolution vote restricted to
     # predicates the functionality profile auto-detects (>= 0.35)

@@ -88,6 +88,7 @@ HEADLINE = [
     "kg_rule_infer",             # r06: rule-based KG completion
     "kg_entity_salience",        # r06: per-doc entity importance index
     "kg_predicate_stats",        # r06: AMIE functionality profile
+    "kg_link_coherent",          # r06: document-coherence disambiguation
 ]
 
 N_RUNS = 3          # interleaved passes per headline query

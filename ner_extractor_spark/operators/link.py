@@ -249,3 +249,71 @@ def salt_explode(big: DataFrame, small: DataFrame, key: str, k: int = 16,
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
     small_s = small_s.withColumn("_salt", F.col("_salt").cast("int"))
     return big_s, small_s, [key, "_salt"]
+
+
+def context_entities(cand: DataFrame) -> DataFrame:
+    """(url, ctx_id): the UNAMBIGUOUS entities of each document —
+    candidates whose alias maps to exactly one entity.  The anchor set
+    coherence disambiguation scores against."""
+    return (cand.filter(F.col("n_cand") == 1)
+            .select("url", F.col("entity_id").alias("ctx_id"))
+            .distinct())
+
+
+def link_coherent(mentions: DataFrame, aliases: DataFrame,
+                  relatedness: DataFrame | None = None) -> DataFrame:
+    """Document-coherence entity disambiguation (the classic
+    collective-linking recipe, cf. Cucerzan 2007 / Milne & Witten
+    2008 — public algorithms): an ambiguous mention resolves to the
+    candidate most RELATED to the document's unambiguous entities,
+    falling back to (prior desc, entity_id asc) — ``link_exact``'s
+    rule — when coherence is silent.  'jaguar' near 'spark plug'
+    links to the car; near 'big cat' to the animal.
+
+    ``relatedness``: (qa, qb, w) — directed, qa = candidate, qb =
+    context entity.  ``None`` derives it from the corpus itself:
+    co-occurrence counts of unambiguous entity pairs across documents
+    (symmetric by construction).  score(mention, cand) =
+    sum(w) over the document's context entities.
+
+    Output: one row per linked mention — (url, sent_id, start, end,
+    surface, entity_id, prior, n_cand, score).
+
+    Scale shape: the alias dimension (with its candidate counts) is
+    broadcast exactly as in ``link_exact``; the context explode keys
+    on url (fan-out bounded by entities-per-document × candidates);
+    the relatedness join keys on the (qa, qb) pair; the final pick is
+    a per-mention window bounded by candidates-per-alias.  The
+    derived relatedness table is one (entity, entity) co-occurrence
+    aggregation — ctx-pair fan-out per document is entities-per-doc²,
+    the bounded MOSS-pairing shape."""
+    acount = (aliases.groupBy("alias_norm")
+              .agg(F.countDistinct("entity_id").alias("n_cand")))
+    dim = aliases.join(acount, on="alias_norm")
+    m = mentions.withColumn("alias_norm", norm_surface(F.col("surface")))
+    cand = m.join(F.broadcast(dim), on="alias_norm")
+    ctx = context_entities(cand)
+
+    if relatedness is None:
+        a = ctx.select("url", F.col("ctx_id").alias("qa"))
+        b = ctx.select("url", F.col("ctx_id").alias("qb"))
+        relatedness = (a.join(b, on="url")
+                       .filter(F.col("qa") != F.col("qb"))
+                       .groupBy("qa", "qb")
+                       .agg(F.count(F.lit(1)).cast("double").alias("w")))
+
+    scored = (cand.join(ctx, on="url", how="left")
+              .join(relatedness,
+                    on=[cand["entity_id"] == relatedness["qa"],
+                        ctx["ctx_id"] == relatedness["qb"]], how="left")
+              .groupBy("url", "sent_id", "start", "end", "surface",
+                       "entity_id", "prior", "n_cand")
+              .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)))
+                   .alias("score")))
+    wm = Window.partitionBy("url", "sent_id", "start", "end").orderBy(
+        F.col("score").desc(), F.col("prior").desc(),
+        F.col("entity_id").asc())
+    return (scored.withColumn("_rk", F.row_number().over(wm))
+            .filter(F.col("_rk") == 1)
+            .select("url", "sent_id", "start", "end", "surface",
+                    "entity_id", "prior", "n_cand", "score"))

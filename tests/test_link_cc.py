@@ -117,3 +117,43 @@ def test_lsh_candidates_find_typo(spark):
 def test_norm_surface(spark):
     df = spark.createDataFrame([("  Acme   CORP ",)], "s string")
     assert df.select(norm_surface(F.col("s")).alias("n")).collect()[0]["n"] == "acme corp"
+
+
+def test_link_coherent_jaguar(spark):
+    from ner_extractor_spark.operators.link import link_coherent
+
+    aliases = spark.createDataFrame(
+        [("jaguar", "Q-CAT", "ANI", 0.6), ("jaguar", "Q-CAR", "ORG", 0.4),
+         ("jaguar xk", "Q-CAR", "ORG", 1.0), ("big cat", "Q-CAT", "ANI", 1.0),
+         ("engine", "Q-E", "MISC", 1.0), ("tail", "Q-T", "MISC", 1.0)],
+        "alias_norm string, entity_id string, entity_type string, "
+        "prior double")
+
+    def m(url, sid, start, surface):
+        return (url, sid, start, start, surface, "X")
+
+    mentions = spark.createDataFrame(
+        [m("d1", 0, 0, "Jaguar"), m("d1", 0, 2, "engine"),
+         m("d2", 0, 0, "jaguar xk"), m("d2", 0, 3, "engine"),
+         m("d3", 0, 0, "big cat"), m("d3", 0, 2, "tail"),
+         m("d4", 0, 0, "jaguar"), m("d4", 0, 2, "tail"),
+         m("d5", 0, 0, "jaguar")],
+        "url string, sent_id int, start int, end int, surface string, "
+        "label string")
+    got = {(r["url"], r["surface"].lower()): (r["entity_id"], r["score"])
+           for r in link_coherent(mentions, aliases).collect()}
+    # derived relatedness: d2 pairs (Q-CAR, Q-E); d3 pairs (Q-CAT, Q-T)
+    assert got[("d1", "jaguar")] == ("Q-CAR", 1.0)   # beats the 0.6 prior
+    assert got[("d4", "jaguar")] == ("Q-CAT", 1.0)
+    assert got[("d5", "jaguar")] == ("Q-CAT", 0.0)   # no context -> prior
+    # unambiguous mentions link untouched
+    assert got[("d2", "jaguar xk")][0] == "Q-CAR"
+    assert got[("d3", "big cat")][0] == "Q-CAT"
+
+    # explicit relatedness table overrides the derived one
+    rel = spark.createDataFrame([("Q-CAT", "Q-E", 5.0)],
+                                "qa string, qb string, w double")
+    got2 = {(r["url"], r["surface"].lower()): r["entity_id"]
+            for r in link_coherent(mentions, aliases,
+                                   relatedness=rel).collect()}
+    assert got2[("d1", "jaguar")] == "Q-CAT"
