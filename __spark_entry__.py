@@ -1632,6 +1632,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tl = fact_timeline(_triples_df(spark, sf), _pages(spark, sf))
         return facts_asof(tl, "2024-01-01 00:04:10")
 
+    def kg_snapshot_diff(spark, sf):
+        # r06: KG lifecycle diff — what changed between two instants
+        # of the temporal KG (added / removed / changed per subj,pred)
+        from ner_extractor_spark.operators.kg_quality import (
+            fact_timeline, snapshot_diff)
+        tl = fact_timeline(_triples_df(spark, sf), _pages(spark, sf))
+        return snapshot_diff(tl, "2024-01-01 00:02:00",
+                             "2024-01-01 00:06:40")
+
     def kg_entity_salience(spark, sf):
         # r06: per-document entity salience (freq share + first-mention
         # earliness + sentence spread), top-5 per page — the doc-level
@@ -1737,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_stats": kg_predicate_stats,                # r06
         "kg_functional_resolution": kg_functional_resolution,    # r06
         "kg_link_coherent": kg_link_coherent,                    # r06
+        "kg_snapshot_diff": kg_snapshot_diff,                    # r06
         "kg_rule_mining": kg_rule_mining,                        # r06
         "kg_rule_infer": kg_rule_infer,                          # r06
         "web_robots_filter": web_robots_filter,                  # r06
@@ -4872,6 +4882,29 @@ FROM (
     ORDER BY salience DESC, surface ASC, label ASC) AS INT) AS rank
   FROM sal)
 WHERE rank <= 5"""
+
+    # kg_snapshot_diff: two interval filters of the shared timeline,
+    # full-outer on (subj, pred), unchanged omitted
+    d["kg_snapshot_diff"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},{_TIMELINE_CTES},
+sa AS (
+  SELECT subj, pred, obj AS obj_before FROM tline
+  WHERE valid_from <= TIMESTAMP '2024-01-01 00:02:00'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-01 00:02:00')),
+sb AS (
+  SELECT subj, pred, obj AS obj_after FROM tline
+  WHERE valid_from <= TIMESTAMP '2024-01-01 00:06:40'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-01 00:06:40'))
+SELECT subj, pred, obj_before, obj_after, change FROM (
+  SELECT COALESCE(a.subj, b.subj) AS subj,
+         COALESCE(a.pred, b.pred) AS pred,
+         a.obj_before, b.obj_after,
+         CASE WHEN a.obj_before IS NULL THEN 'added'
+              WHEN b.obj_after IS NULL THEN 'removed'
+              WHEN a.obj_before != b.obj_after THEN 'changed'
+         END AS change
+  FROM sa a FULL JOIN sb b ON a.subj = b.subj AND a.pred = b.pred)
+WHERE change IS NOT NULL"""
 
     # kg_rule_mining: AMIE-style rules — every join keys on the entity
     # pair; the chain body replays the max_fanout=64 hub cap exactly.

@@ -496,3 +496,31 @@ def resolve_functional_facts(triples: DataFrame, pages: DataFrame,
              for r in stats.filter(F.col("is_functional")).collect()]
     return resolve_facts(triple_provenance(triples, pages),
                          functional_preds=preds)
+
+
+def snapshot_diff(timeline: DataFrame, t1, t2) -> DataFrame:
+    """Diff two instants of the temporal KG: per (subj, pred), compare
+    the belief at ``t1`` vs ``t2`` and report what changed — (subj,
+    pred, obj_before, obj_after, change) with change in {'added',
+    'removed', 'changed'} (unchanged facts are omitted).  The KG
+    lifecycle primitive: what did this crawl increment teach us?
+
+    ``fact_timeline`` guarantees at most one valid object per (subj,
+    pred) per instant, so the diff is a full-outer equi-join on (subj,
+    pred) between two interval filters of the SAME timeline — Catalyst
+    reuses one scan; every shuffle keys on (subj, pred).  With a
+    gaps-and-islands timeline 'removed' cannot occur (a closed
+    interval always has a successor); the branch is kept for interval
+    tables with explicit expiry."""
+    a = (facts_asof(timeline, t1)
+         .select("subj", "pred", F.col("obj").alias("obj_before")))
+    b = (facts_asof(timeline, t2)
+         .select("subj", "pred", F.col("obj").alias("obj_after")))
+    j = a.join(b, on=["subj", "pred"], how="full_outer")
+    change = (F.when(F.col("obj_before").isNull(), F.lit("added"))
+              .when(F.col("obj_after").isNull(), F.lit("removed"))
+              .when(F.col("obj_before") != F.col("obj_after"),
+                    F.lit("changed")))
+    return (j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select("subj", "pred", "obj_before", "obj_after", "change"))

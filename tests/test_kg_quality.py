@@ -346,3 +346,34 @@ def test_resolve_functional_facts_autodetect(spark):
     at07 = resolve_functional_facts(tri, pages, functional_threshold=0.7)
     assert {r["pred"] for r in at07.collect()} == {"knows"}
     assert resolve_functional_facts(tri, pages).count() == 0
+
+
+def test_snapshot_diff_changes(spark):
+    import datetime as dt
+    from ner_extractor_spark.operators.kg_quality import (fact_timeline,
+                                                          snapshot_diff)
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    tri = spark.createDataFrame(
+        [("u1", "acme", "based_in", "paris"),
+         ("u5", "acme", "based_in", "tokyo"),
+         ("u1", "bob", "works_at", "acme"),
+         ("u5", "carol", "works_at", "acme")],
+        "url string, subj_surface string, pred string, obj_surface string")
+    pages = spark.createDataFrame(
+        [("u1", ts(1)), ("u5", ts(5))], "url string, warc_ts timestamp")
+    tl = fact_timeline(tri, pages).localCheckpoint()
+    got = {(r["subj"], r["pred"]): (r["obj_before"], r["obj_after"],
+                                    r["change"])
+           for r in snapshot_diff(tl, ts(2), ts(6)).collect()}
+    # acme moved; carol appeared; bob unchanged -> omitted
+    assert got == {
+        ("acme", "based_in"): ("paris", "tokyo", "changed"),
+        ("carol", "works_at"): (None, "acme", "added"),
+    }
+    # t before any capture: everything is 'added'
+    all_added = snapshot_diff(tl, ts(0), ts(6)).collect()
+    assert {r["change"] for r in all_added} == {"added"}
+    assert len(all_added) == 3
