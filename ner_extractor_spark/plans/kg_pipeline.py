@@ -50,6 +50,8 @@ def run_kg_pipeline(
     run_id: str = "run0",
     predicates=None,
     use_html: bool = False,
+    linker: str = "exact",
+    relatedness: DataFrame | None = None,
 ) -> KGResult:
     """``use_html=True`` extracts text from the ``html`` binary column
     via the real markup-aware extractor (operators/html.py) instead of
@@ -76,7 +78,25 @@ def run_kg_pipeline(
         run_id=run_id)
 
     # --- linking ---------------------------------------------------------
-    linked = link_exact(mentions, aliases)
+    # linker='coherent' swaps in document-coherence disambiguation
+    # (operators/link.link_coherent); when coherence is silent (zero
+    # scores) its fallback IS link_exact's (prior, entity_id) rule, so
+    # the two modes agree except where context genuinely disambiguates
+    # (parity pinned in tests/test_pipeline_e2e.py).
+    if linker == "coherent":
+        from ..operators.link import link_coherent
+        lc = link_coherent(mentions, aliases, relatedness)
+        etype = (aliases.groupBy("entity_id")
+                 .agg(F.min("entity_type").alias("entity_type")))
+        linked = (
+            lc.join(F.broadcast(etype), on="entity_id")
+            .join(mentions.select("url", "sent_id", "start", "label"),
+                  on=["url", "sent_id", "start"])
+            .withColumn("alias_norm", norm_surface(F.col("surface"))))
+    elif linker == "exact":
+        linked = link_exact(mentions, aliases)
+    else:
+        raise ValueError(f"linker: {linker!r} (expected exact|coherent)")
     # residual near-miss candidates: unlinked surfaces vs alias strings
     resid = unlinked(mentions, aliases).select("alias_norm").distinct()
     cand = lsh_candidates(resid, "alias_norm",

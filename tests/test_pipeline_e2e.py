@@ -101,3 +101,25 @@ def test_lineage_written_per_stage(spark, corpus, tmp_path):
            lin.groupBy("stage").agg(F.sum("row_count").alias("n")).collect()}
     sents = extract_sentences(pages, lang=None).count()
     assert got["sentences"] == sents
+
+
+def test_coherent_linker_parity_when_silent(spark, corpus, tmp_path):
+    """linker='coherent' with an EMPTY relatedness table scores every
+    candidate 0, so its fallback (prior desc, entity_id asc) must
+    reproduce the exact-linker triples verbatim; with a relatedness
+    table favouring the low-prior globex sense, links flip exactly
+    where context fires."""
+    _, pages, _, aliases = corpus
+    empty_rel = spark.createDataFrame([], "qa string, qb string, w double")
+    re = run_kg_pipeline(spark, pages, aliases, synth.tagger_dictionary(),
+                         str(tmp_path / "ex"))
+    rc = run_kg_pipeline(spark, pages, aliases, synth.tagger_dictionary(),
+                         str(tmp_path / "co"), linker="coherent",
+                         relatedness=empty_rel)
+    a = sorted(map(tuple, re.triples.collect()))
+    b = sorted(map(tuple, rc.triples.collect()))
+    assert a == b and len(a) > 0
+
+    with pytest.raises(ValueError):
+        run_kg_pipeline(spark, pages, aliases, synth.tagger_dictionary(),
+                        str(tmp_path / "bad"), linker="fuzzy")
