@@ -69,3 +69,55 @@ def run_kg_stream(pages_stream: DataFrame, dictionary: dict,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_kg_delta_stream(pages_stream: DataFrame, dictionary: dict,
+                        out_dir: str, checkpoint: str,
+                        lang: str | None = "en", predicates=None,
+                        use_html: bool = False) -> None:
+    """NOVEL-FACT delta stream — the incremental twin of
+    ``kg_quality.snapshot_diff``: each micro-batch emits only the
+    distinct (subj, pred, obj) facts the accumulated KG has NOT seen
+    before, appended under ``out_dir/facts/batch_id=N``.  The union of
+    all partitions IS the cumulative distinct KG; each partition is
+    the answer to "what did this crawl increment teach us".
+
+    Replay safety (foreachBatch is at-least-once): the prior-fact
+    state read filters ``batch_id < N`` — partition pruning, so a
+    replayed epoch never sees its own half-written partition — and the
+    per-batch ``mode('overwrite')`` absorbs the rewrite.  State grows
+    as the distinct-fact table, the same asymptotic state the batch KG
+    itself carries; the anti-join keys on the triple identity."""
+    import os
+
+    from ..operators.extract import extract_sentences
+    from ..operators.ner import tag_sentences
+    from ..operators.triples import DEFAULT_PREDICATES, extract_triples_local
+
+    preds = predicates or DEFAULT_PREDICATES
+    facts_dir = f"{out_dir}/facts"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tagged = tag_sentences(
+            extract_sentences(batch_df, lang=lang, use_html=use_html),
+            dictionary)
+        facts = (extract_triples_local(tagged, predicates=preds)
+                 .select(F.col("subj_surface").alias("subj"), "pred",
+                         F.col("obj_surface").alias("obj"))
+                 .distinct())
+        if os.path.isdir(facts_dir):
+            prior = (spark.read.parquet(facts_dir)
+                     .filter(F.col("batch_id") < batch_id)
+                     .select("subj", "pred", "obj"))
+            facts = facts.join(prior, on=["subj", "pred", "obj"],
+                               how="left_anti")
+        (facts.write.mode("overwrite")
+         .parquet(f"{facts_dir}/batch_id={batch_id}"))
+
+    q = (pages_stream.writeStream
+         .foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

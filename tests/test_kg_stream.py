@@ -126,3 +126,56 @@ def test_kg_stream_html_only_pages_match_text_path(spark, tmp_path):
     s = sorted(map(tuple, streamed.select(*batch.columns).collect()))
     b = sorted(map(tuple, batch.collect()))
     assert s == b and len(s) > 0
+
+
+def test_kg_delta_stream_emits_only_novel_facts(spark, tmp_path):
+    from ner_extractor_spark.streaming.kg_stream import run_kg_delta_stream
+
+    docs = synth.gold_corpus(40)
+    pages = spark.createDataFrame(synth.pages_rows(docs), schema=PAGES)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages.repartition(2).write.parquet(src)
+    gaz = synth.tagger_dictionary()
+
+    run_kg_delta_stream(read_pages_stream(spark, src), gaz, out, ckpt,
+                        lang=None)
+    got = spark.read.parquet(f"{out}/facts")
+    batch_facts = (extract_triples_local(
+        tag_sentences(extract_sentences(spark.read.parquet(src), lang=None),
+                      gaz))
+        .select(F.col("subj_surface").alias("subj"), "pred",
+                F.col("obj_surface").alias("obj")).distinct())
+    # union of partitions == batch distinct facts, with NO duplicates
+    # across partitions
+    s = sorted(map(tuple, got.select("subj", "pred", "obj").collect()))
+    assert s == sorted(map(tuple, batch_facts.collect())) and len(s) > 0
+    assert len(s) == len(set(s))
+
+    # second drain: same corpus replayed as new files -> nothing novel,
+    # zero re-emission (the empty delta partition has no data files)
+    pages.repartition(1).write.mode("append").parquet(src)
+    run_kg_delta_stream(read_pages_stream(spark, src), gaz, out, ckpt,
+                        lang=None)
+    assert spark.read.parquet(f"{out}/facts").count() == len(s)
+
+    # third drain with genuinely new docs: exactly the new corpus's
+    # novel facts arrive, in a fresh batch partition
+    bigger = synth.gold_corpus(48)
+    extra = spark.createDataFrame(synth.pages_rows(bigger[40:]),
+                                  schema=PAGES)
+    extra.repartition(1).write.mode("append").parquet(src)
+    run_kg_delta_stream(read_pages_stream(spark, src), gaz, out, ckpt,
+                        lang=None)
+    after = spark.read.parquet(f"{out}/facts")
+    full_facts = (extract_triples_local(
+        tag_sentences(extract_sentences(spark.read.parquet(src), lang=None),
+                      gaz))
+        .select(F.col("subj_surface").alias("subj"), "pred",
+                F.col("obj_surface").alias("obj")).distinct())
+    s2 = sorted(map(tuple, after.select("subj", "pred", "obj").collect()))
+    assert s2 == sorted(map(tuple, full_facts.collect()))
+    assert len(s2) == len(set(s2))          # still no duplicates
+    if len(s2) > len(s):                    # novelty landed in a NEW batch
+        assert after.select("batch_id").distinct().count() >= 2
