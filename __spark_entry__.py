@@ -1587,6 +1587,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return anchor_alias_candidates(extract_anchor_texts(pages),
                                        top_k=2)
 
+    def web_anchor_alias_dim(spark, sf):
+        # r06: the mined anchors AS a linkable ALIASES-schema dict —
+        # prior = anchor-estimated P(entity | alias); plugs straight
+        # into link_exact / link_coherent (composition pinned in
+        # test_weblinks.py)
+        from ner_extractor_spark.operators.weblinks import \
+            alias_dim_from_anchors
+        return alias_dim_from_anchors(web_anchor_aliases(spark, sf))
+
     def warc_roundtrip(spark, sf):
         # r06: the WARC source made real — pages synthesized into
         # multi-record WARC/1.0 file blobs (spec CRLF framing + the
@@ -1739,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_predict": kg_link_predict,                      # r06
         "warc_roundtrip": warc_roundtrip,                        # r06
         "web_anchor_aliases": web_anchor_aliases,                # r06
+        "web_anchor_alias_dim": web_anchor_alias_dim,            # r06
         "kg_fact_resolution": kg_fact_resolution,                # r06
         "kg_fact_timeline": kg_fact_timeline,                    # r06
         "kg_facts_asof": kg_facts_asof,                          # r06
@@ -5083,8 +5093,8 @@ FROM lrk GROUP BY r"""
     # construction (the html_extract_text oracle posture — the oracle
     # never parses markup); canonicalization through the shared
     # CANONICAL_URL_SQL replica
-    d["web_anchor_aliases"] = """
-WITH apages AS (
+    _ANCHOR_CTES = """
+apages AS (
   SELECT doc_id, CAST(doc_id % 17 AS VARCHAR) AS e FROM documents
 ),
 arows AS (
@@ -5106,13 +5116,28 @@ anorm AS (
 acnt AS (
   SELECT dst_url, alias_norm, CAST(count(*) AS BIGINT) AS n
   FROM anorm WHERE alias_norm != '' GROUP BY 1, 2
-)
-SELECT dst_url, alias_norm, n, rank FROM (
-  SELECT dst_url, alias_norm, n,
-         CAST(row_number() OVER (PARTITION BY dst_url
-           ORDER BY n DESC, alias_norm ASC) AS INT) AS rank
-  FROM acnt)
-WHERE rank <= 2"""
+),
+aranked AS (
+  SELECT dst_url, alias_norm, n, rank FROM (
+    SELECT dst_url, alias_norm, n,
+           CAST(row_number() OVER (PARTITION BY dst_url
+             ORDER BY n DESC, alias_norm ASC) AS INT) AS rank
+    FROM acnt)
+  WHERE rank <= 2)"""
+
+    d["web_anchor_aliases"] = (
+        "WITH " + _ANCHOR_CTES
+        + "\nSELECT dst_url, alias_norm, n, rank FROM aranked")
+
+    # web_anchor_alias_dim: the mined anchors as an ALIASES-schema
+    # dictionary with anchor-estimated P(entity | alias) priors
+    d["web_anchor_alias_dim"] = (
+        "WITH " + _ANCHOR_CTES + """,
+tot AS (SELECT alias_norm, CAST(sum(n) AS BIGINT) AS _tot
+        FROM aranked GROUP BY 1)
+SELECT a.alias_norm, a.dst_url AS entity_id, 'URL' AS entity_type,
+       round(a.n * 1.0 / t._tot, 6) AS prior
+FROM aranked a JOIN tot t USING (alias_norm)""")
 
     # warc_roundtrip: every field recomputed from documents — the
     # framing arithmetic (fixed HTTP head = 77 ASCII bytes +

@@ -112,3 +112,27 @@ def anchor_alias_candidates(anchors: DataFrame, top_k: int = 3,
                                               F.col("alias_norm").asc())
     return (cnt.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k))
+
+
+def alias_dim_from_anchors(anchor_candidates: DataFrame,
+                           entity_type: str = "URL") -> DataFrame:
+    """Bootstrap a LINKABLE alias dictionary from mined anchor text —
+    the closing of the web-alias loop: ``anchor_alias_candidates``
+    output becomes an ALIASES-schema table (alias_norm, entity_id,
+    entity_type, prior) that plugs straight into ``link_exact`` /
+    ``link_coherent``.  The canonical target url is the entity id;
+    ``prior`` is the anchor-estimated P(entity | alias) — the alias's
+    count for this target over its count across ALL targets, the
+    standard link-dictionary prior (cf. the Wikipedia anchor
+    dictionaries of Spitkovsky & Chang 2012 — public).
+
+    Scale shape: one alias-keyed rollup (sum over targets) joined back
+    on alias_norm — the same key the candidate table is already
+    aggregated on; no new shuffle shape."""
+    tot = (anchor_candidates.groupBy("alias_norm")
+           .agg(F.sum("n").alias("_tot")))
+    return (anchor_candidates.join(tot, on="alias_norm")
+            .select("alias_norm",
+                    F.col("dst_url").alias("entity_id"),
+                    F.lit(entity_type).alias("entity_type"),
+                    F.round(F.col("n") / F.col("_tot"), 6).alias("prior")))

@@ -98,3 +98,29 @@ def test_anchor_alias_candidates_topk_and_link_composition(spark):
     linked = {r["surface"]: r["entity_id"]
               for r in link_exact(mentions, aliases).collect()}
     assert linked.get("Acme") == "https://e.test/acme"
+
+
+def test_alias_dim_from_anchors_priors_and_linking(spark):
+    from ner_extractor_spark.operators.link import link_exact
+    from ner_extractor_spark.operators.weblinks import alias_dim_from_anchors
+
+    cand = spark.createDataFrame(
+        [("https://e.test/a", "acme", 3, 1),
+         ("https://e.test/b", "acme", 1, 1),     # ambiguous alias
+         ("https://e.test/b", "bolt co", 2, 2)],
+        "dst_url string, alias_norm string, n long, rank int")
+    dim = alias_dim_from_anchors(cand)
+    got = {(r["alias_norm"], r["entity_id"]): r["prior"]
+           for r in dim.collect()}
+    assert got[("acme", "https://e.test/a")] == 0.75
+    assert got[("acme", "https://e.test/b")] == 0.25
+    assert got[("bolt co", "https://e.test/b")] == 1.0
+
+    # plugs straight into link_exact: max prior wins the ambiguity
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, 0, "Acme", "ORG")],
+        "url string, sent_id int, start int, end int, surface string, "
+        "label string")
+    linked = link_exact(mentions, dim).collect()
+    assert len(linked) == 1
+    assert linked[0]["entity_id"] == "https://e.test/a"
