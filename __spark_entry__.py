@@ -1641,6 +1641,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tl = fact_timeline(_triples_df(spark, sf), _pages(spark, sf))
         return facts_asof(tl, "2024-01-01 00:04:10")
 
+    def kg_growth_curve(spark, sf):
+        # r06: crawl-ops analytics — facts first seen per capture
+        # minute + cumulative KG size
+        from ner_extractor_spark.operators.kg_quality import (
+            growth_curve, triple_provenance)
+        return growth_curve(triple_provenance(
+            _triples_df(spark, sf), _pages(spark, sf)))
+
     def kg_snapshot_diff(spark, sf):
         # r06: KG lifecycle diff — what changed between two instants
         # of the temporal KG (added / removed / changed per subj,pred)
@@ -1757,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_functional_resolution": kg_functional_resolution,    # r06
         "kg_link_coherent": kg_link_coherent,                    # r06
         "kg_snapshot_diff": kg_snapshot_diff,                    # r06
+        "kg_growth_curve": kg_growth_curve,                      # r06
         "kg_rule_mining": kg_rule_mining,                        # r06
         "kg_rule_infer": kg_rule_infer,                          # r06
         "web_robots_filter": web_robots_filter,                  # r06
@@ -4892,6 +4901,32 @@ FROM (
     ORDER BY salience DESC, surface ASC, label ASC) AS INT) AS rank
   FROM sal)
 WHERE rank <= 5"""
+
+    # kg_growth_curve: bucketed first-seen counts + cumulative window
+    # (one row per time bucket — the window input is bounded)
+    d["kg_growth_curve"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+pts AS (
+  SELECT url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT))
+           AS warc_ts
+  FROM pages
+),
+prov AS (
+  SELECT t.subj_surface AS subj, t.pred, t.obj_surface AS obj,
+         min(p.warc_ts) AS first_seen
+  FROM tri t JOIN pts p USING (url)
+  GROUP BY 1, 2, 3
+),
+bk AS (
+  SELECT date_trunc('minute', first_seen) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_facts
+  FROM prov GROUP BY 1)
+SELECT bucket, new_facts,
+       CAST(sum(new_facts) OVER (ORDER BY bucket
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_facts
+FROM bk"""
 
     # kg_snapshot_diff: two interval filters of the shared timeline,
     # full-outer on (subj, pred), unchanged omitted

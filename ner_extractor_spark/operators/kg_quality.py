@@ -524,3 +524,22 @@ def snapshot_diff(timeline: DataFrame, t1, t2) -> DataFrame:
     return (j.withColumn("change", change)
             .filter(F.col("change").isNotNull())
             .select("subj", "pred", "obj_before", "obj_after", "change"))
+
+
+def growth_curve(prov: DataFrame, bucket: str = "minute") -> DataFrame:
+    """KG growth analytics over the provenance rollup: facts FIRST
+    seen per capture-time bucket plus the cumulative KG size —
+    (bucket, new_facts, total_facts).  The crawl-operations dashboard
+    datum: is the knowledge frontier still moving, or is the crawl
+    re-reading what it knows?
+
+    Scale shape: one bucket-keyed aggregation; the cumulative sum is
+    an unpartitioned window, sound because its input is one row per
+    TIME BUCKET (bounded by crawl-span / bucket width — thousands of
+    rows, not corpus-sized)."""
+    b = (prov.groupBy(F.date_trunc(bucket, F.col("first_seen"))
+                      .alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("new_facts")))
+    w = (W.orderBy("bucket")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return b.withColumn("total_facts", F.sum("new_facts").over(w))

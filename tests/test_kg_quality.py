@@ -377,3 +377,20 @@ def test_snapshot_diff_changes(spark):
     all_added = snapshot_diff(tl, ts(0), ts(6)).collect()
     assert {r["change"] for r in all_added} == {"added"}
     assert len(all_added) == 3
+
+
+def test_growth_curve_cumulative(spark):
+    import datetime as dt
+    from ner_extractor_spark.operators.kg_quality import growth_curve
+
+    prov = spark.createDataFrame(
+        [("a", "p", "x", dt.datetime(2024, 1, 1, 0, 0, 10)),
+         ("a", "p", "y", dt.datetime(2024, 1, 1, 0, 0, 50)),
+         ("b", "p", "x", dt.datetime(2024, 1, 1, 0, 2, 5)),
+         ("c", "p", "x", dt.datetime(2024, 1, 1, 0, 2, 59))],
+        "subj string, pred string, obj string, first_seen timestamp")
+    rows = sorted(map(tuple, growth_curve(prov).collect()))
+    assert rows == [
+        (dt.datetime(2024, 1, 1, 0, 0), 2, 2),
+        (dt.datetime(2024, 1, 1, 0, 2), 2, 4),
+    ]
