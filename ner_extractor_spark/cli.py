@@ -70,6 +70,11 @@ def main(argv=None):
                          "page source (crawl-native input; implies "
                          "--use-html)")
     kg.add_argument("--run-id", default=None)
+    kg.add_argument("--linker", default="exact",
+                    choices=["exact", "coherent"],
+                    help="entity linker: exact (broadcast alias join) "
+                         "or coherent (document-context "
+                         "disambiguation, corpus-derived relatedness)")
     kg.add_argument("--rules", action="store_true",
                     help="mine AMIE-style rules over the canonical "
                          "triples and back-fill rule-inferred facts "
@@ -212,7 +217,8 @@ def main(argv=None):
     lang = None if lang_arg in ("", "all") else lang_arg
     res = run_kg_pipeline(spark, pages, aliases, synth.tagger_dictionary(),
                           workdir, lang=lang, run_id=run_id,
-                          use_html=run["use_html"])
+                          use_html=run["use_html"],
+                          linker=getattr(args, "linker", "exact"))
     out = {
         "sentences": res.sentences.count(),
         "mentions": res.mentions.count(),
