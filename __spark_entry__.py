@@ -1641,6 +1641,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tl = fact_timeline(_triples_df(spark, sf), _pages(spark, sf))
         return facts_asof(tl, "2024-01-01 00:04:10")
 
+    def kg_relation_patterns(spark, sf):
+        # r06: Snowball-style pattern induction — per-predicate top
+        # between-span token patterns over the extracted triples
+        from ner_extractor_spark.operators.kg_quality import \
+            relation_patterns
+        return relation_patterns(_triples_df(spark, sf),
+                                 _sentences(spark, sf))
+
     def kg_growth_curve(spark, sf):
         # r06: crawl-ops analytics — facts first seen per capture
         # minute + cumulative KG size
@@ -1766,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_coherent": kg_link_coherent,                    # r06
         "kg_snapshot_diff": kg_snapshot_diff,                    # r06
         "kg_growth_curve": kg_growth_curve,                      # r06
+        "kg_relation_patterns": kg_relation_patterns,            # r06
         "kg_rule_mining": kg_rule_mining,                        # r06
         "kg_rule_infer": kg_rule_infer,                          # r06
         "web_robots_filter": web_robots_filter,                  # r06
@@ -4900,6 +4909,31 @@ FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY url
     ORDER BY salience DESC, surface ASC, label ASC) AS INT) AS rank
   FROM sal)
+WHERE rank <= 5"""
+
+    # kg_relation_patterns: between-span token slice (1-based DuckDB
+    # list slice == Spark F.slice arithmetic), (pred, pattern) rollup,
+    # per-pred top-k
+    d["kg_relation_patterns"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+stoks AS (
+  SELECT url, sent_id, string_split(sent_text, ' ') AS _tl FROM sents),
+pt AS (
+  SELECT t.pred,
+         array_to_string(
+           s._tl[CAST(t.subj_start
+                      + len(string_split(t.subj_surface, ' '))
+                      + 1 AS INT)
+                 : CAST(t.obj_start AS INT)], ' ') AS pattern
+  FROM tri t JOIN stoks s USING (url, sent_id)),
+cnt AS (
+  SELECT pred, pattern, CAST(count(*) AS BIGINT) AS n
+  FROM pt GROUP BY 1, 2)
+SELECT pred, pattern, n, rank FROM (
+  SELECT pred, pattern, n,
+         CAST(row_number() OVER (PARTITION BY pred
+           ORDER BY n DESC, pattern ASC) AS INT) AS rank
+  FROM cnt)
 WHERE rank <= 5"""
 
     # kg_growth_curve: bucketed first-seen counts + cumulative window

@@ -543,3 +543,36 @@ def growth_curve(prov: DataFrame, bucket: str = "minute") -> DataFrame:
     w = (W.orderBy("bucket")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     return b.withColumn("total_facts", F.sum("new_facts").over(w))
+
+
+def relation_patterns(triples: DataFrame, sentences: DataFrame,
+                      top_k: int = 5) -> DataFrame:
+    """Snowball-style relation-pattern induction (Agichtein & Gravano
+    2000 — public algorithm): for each predicate, the most frequent
+    BETWEEN-SPAN token patterns — (pred, pattern, n, rank).  The
+    bootstrap datum for growing a relation extractor: patterns mined
+    from known triples find new entity pairs.
+
+    The between-window is the whitespace tokens strictly between the
+    subject span's end and the object's start (the extractor
+    guarantees subject precedes object with at least the predicate
+    token between — the slice is never empty, ANSI-safe).
+
+    Scale shape: one url/sent-keyed join to re-attach sentence tokens
+    (the extraction's own key), one (pred, pattern)-keyed count with
+    map-side combine, and a per-pred top-k window over the
+    pattern-vocabulary-sized rollup."""
+    toks = sentences.select(
+        "url", "sent_id", F.split(F.col("sent_text"), " ").alias("_tl"))
+    j = triples.join(toks, on=["url", "sent_id"])
+    subj_end = (F.col("subj_start")
+                + F.size(F.split(F.col("subj_surface"), " ")) - 1)
+    pat = F.concat_ws(" ", F.slice(
+        F.col("_tl"), subj_end + 2, F.col("obj_start") - subj_end - 1))
+    cnt = (j.select("pred", pat.alias("pattern"))
+           .groupBy("pred", "pattern")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("pred").orderBy(F.col("n").desc(),
+                                      F.col("pattern").asc())
+    return (cnt.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k))

@@ -394,3 +394,25 @@ def test_growth_curve_cumulative(spark):
         (dt.datetime(2024, 1, 1, 0, 0), 2, 2),
         (dt.datetime(2024, 1, 1, 0, 2), 2, 4),
     ]
+
+
+def test_relation_patterns_between_spans(spark):
+    from ner_extractor_spark.operators.kg_quality import relation_patterns
+
+    sents = spark.createDataFrame(
+        [("u1", 0, "big co was founded by alice smith"),
+         ("u1", 1, "other co was founded by bob"),
+         ("u2", 0, "acme acquired rival co")],
+        "url string, sent_id int, sent_text string")
+    # (subj token span) ... (obj token span); subj precedes obj
+    tri = spark.createDataFrame(
+        [("u1", 0, 0, "big co", "founded", 5, "alice smith"),
+         ("u1", 1, 0, "other co", "founded", 5, "bob"),
+         ("u2", 0, 0, "acme", "acquired", 2, "rival co")],
+        "url string, sent_id int, subj_start int, subj_surface string, "
+        "pred string, obj_start int, obj_surface string")
+    got = {(r["pred"], r["pattern"]): (r["n"], r["rank"])
+           for r in relation_patterns(tri, sents).collect()}
+    assert got[("founded", "was founded by")] == (2, 1)
+    assert got[("acquired", "acquired")] == (1, 1)
+    assert len(got) == 2
