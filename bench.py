@@ -89,6 +89,7 @@ HEADLINE = [
     "kg_entity_salience",        # r06: per-doc entity importance index
     "kg_predicate_stats",        # r06: AMIE functionality profile
     "kg_link_coherent",          # r06: document-coherence disambiguation
+    "kg_relation_patterns",      # r06: Snowball pattern induction
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
