@@ -1724,6 +1724,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tri = _triples_df(spark, sf)
         return infer_facts(tri, mine_rules(tri), min_conf=0.5)
 
+    def kg_type_signatures(spark, sf):
+        # r06: SDType-style domain/range induction — LEARN each
+        # predicate's (subj_label, obj_label) signatures from distinct
+        # facts (support, share, per-pred rank, dominant flag); the
+        # pipeline produces typed_triples' allow-list itself
+        from ner_extractor_spark.operators.kg_quality import \
+            predicate_signatures
+        return predicate_signatures(_triples_df(spark, sf))
+
+    def kg_signature_outliers(spark, sf):
+        # r06: the learned-schema audit — distinct facts whose type
+        # signature carries < 10% of its predicate's support
+        # (broadcast signature join back onto the fact table)
+        from ner_extractor_spark.operators.kg_quality import \
+            signature_outliers
+        return signature_outliers(_triples_df(spark, sf), min_share=0.1)
+
+    def kg_khop(spark, sf):
+        # r06: bounded-k BFS shortest-hop neighborhood over the domain
+        # link graph — the KG serving primitive; seed auto-picked as
+        # the top-degree hub, traversal fan-out capped at 4 neighbors
+        # per node (hub-capping discipline), k=3 frontier joins
+        from ner_extractor_spark.operators.graph import khop_neighborhood
+        from ner_extractor_spark.operators.weblinks import (
+            domain_link_graph, extract_links)
+        lg = domain_link_graph(extract_links(_link_pages(spark, sf)))
+        return khop_neighborhood(
+            lg.select(F.col("src_domain").alias("src"),
+                      F.col("dst_domain").alias("dst")),
+            k=3, max_degree=4)
+
     def web_robots_filter(spark, sf):
         # r06: crawl-politeness gating — RFC 9309 longest-match rules
         # (broadcast per-host directive table; longer prefix wins, tie
@@ -1777,6 +1808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relation_patterns": kg_relation_patterns,            # r06
         "kg_rule_mining": kg_rule_mining,                        # r06
         "kg_rule_infer": kg_rule_infer,                          # r06
+        "kg_type_signatures": kg_type_signatures,                # r06
+        "kg_signature_outliers": kg_signature_outliers,          # r06
+        "kg_khop": kg_khop,                                      # r06
         "web_robots_filter": web_robots_filter,                  # r06
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
@@ -3742,6 +3776,37 @@ edges AS MATERIALIZED (
 )""" + _pagerank_sql(5, 0.85) + """
 SELECT node, rank FROM pr5""",
 
+        # kg_khop: bounded-k BFS over the symmetrized domain link
+        # graph — recursive CTE with per-iteration UNION dedup (BFS,
+        # not path enumeration); seed = top-degree hub on the UNCAPPED
+        # graph, traversal capped at 4 smallest-id neighbors per node,
+        # hop = min reach depth <= 3 (all replicated literally)
+        "kg_khop": "WITH RECURSIVE " + _LINK_EDGES_SQL + """,
+kedges AS (
+  SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM e0
+  WHERE dst_domain != '' AND src_domain != ''
+),
+ksym AS (
+  SELECT src AS s, dst AS d FROM kedges
+  UNION
+  SELECT dst AS s, src AS d FROM kedges
+),
+kdeg AS (SELECT s, count(*) AS deg FROM ksym GROUP BY 1),
+kseed AS (SELECT s AS node FROM kdeg ORDER BY deg DESC, s ASC LIMIT 1),
+kadj AS (
+  SELECT s, d FROM (
+    SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d ASC) AS rn
+    FROM ksym) z
+  WHERE rn <= 4
+),
+bfs(node, hop) AS (
+  SELECT node, 0 FROM kseed
+  UNION
+  SELECT a.d, b.hop + 1 FROM bfs b JOIN kadj a ON a.s = b.node
+  WHERE b.hop < 3
+)
+SELECT node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY 1""",
+
         "augment_entities": f"""
 WITH {MEN_SQL},
 pool AS (
@@ -4880,6 +4945,40 @@ SELECT pred, n_facts, n_subj, n_obj,
        round(n_obj * 1.0 / n_facts, 6) AS inv_functionality,
        round(n_subj * 1.0 / n_facts, 6) >= 0.8 AS is_functional
 FROM st"""
+
+    # kg_type_signatures: SDType-style domain/range induction —
+    # distinct facts -> (pred, label-pair) support/share/rank
+    _SIG_BODY = """
+sfacts AS (
+  SELECT DISTINCT pred, subj_surface, subj_label, obj_surface, obj_label
+  FROM tri),
+sig AS (
+  SELECT pred, subj_label, obj_label,
+         CAST(count(*) AS BIGINT) AS n_facts
+  FROM sfacts GROUP BY 1, 2, 3),
+sigr AS (
+  SELECT pred, subj_label, obj_label, n_facts,
+         round(CAST(n_facts AS DOUBLE)
+               / sum(n_facts) OVER (PARTITION BY pred), 6) AS share,
+         CAST(row_number() OVER (PARTITION BY pred
+           ORDER BY n_facts DESC, subj_label ASC, obj_label ASC)
+           AS INT) AS rank
+  FROM sig)"""
+    d["kg_type_signatures"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},{_SIG_BODY}
+SELECT pred, subj_label, obj_label, n_facts, share, rank,
+       rank = 1 AS is_dominant
+FROM sigr"""
+
+    # kg_signature_outliers: the learned-schema audit — facts whose
+    # signature share < 0.1 (threshold replicated literally)
+    d["kg_signature_outliers"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},{_SIG_BODY}
+SELECT f.subj_surface AS subj, f.pred, f.obj_surface AS obj,
+       f.subj_label, f.obj_label, g.share AS sig_share
+FROM sfacts f
+JOIN sigr g USING (pred, subj_label, obj_label)
+WHERE g.share < 0.1"""
 
     # kg_entity_salience: entity-keyed agg + two url rollups + per-url
     # rank; formula replicated literally (freq share, earliness,

@@ -134,3 +134,61 @@ def label_propagation(edges: DataFrame, n_iter: int = 4,
                   .select("node", F.col("b.label").alias("label"))
                   .localCheckpoint())
     return labels.select("node", F.col("label").alias("community"))
+
+
+def khop_neighborhood(edges: DataFrame, k: int = 3,
+                      seed: str | None = None,
+                      max_degree: int | None = None,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Bounded-k BFS shortest-hop neighborhood — the KG serving
+    primitive ("everything within k hops of X") behind entity-page
+    rendering and subgraph retrieval.  Returns (node, hop) with hop =
+    EXACT shortest undirected distance from the seed, hop <= k.
+
+    The graph is the symmetrized distinct edge set.  ``seed`` defaults
+    to the highest-degree node (ties to the smallest id) — a
+    deterministic, data-derived choice so the query is scale-factor
+    independent.  ``max_degree`` caps the TRAVERSAL fan-out per node
+    (neighbors kept by smallest id — the hub-capping discipline of
+    mine_rules' max_fanout): a "Reuters"-class hub would otherwise
+    pull in its whole million-neighbor adjacency at hop 1.  Degree for
+    seed selection is measured on the UNCAPPED graph (the true hub);
+    only the walk is capped.
+
+    Scale shape: per hop, ONE equi-join keyed on the node id (frontier
+    × adjacency) plus a distinct, and a left_anti against the visited
+    set so re-reached nodes never re-expand — frontier work is
+    proportional to the hop's NEW nodes, not to paths (BFS, not path
+    enumeration).  k is a small constant; each hop's frontier is
+    localCheckpoint-ed (iterative-lineage barrier, same as pagerank /
+    cc.py).  The visited set is never collected."""
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s").isNotNull() & F.col("d").isNotNull()))
+    sym = (e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+           .distinct().localCheckpoint())
+    if seed is None:
+        deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        seed_df = (deg.orderBy(F.col("deg").desc(), F.col("s").asc())
+                   .limit(1).select(F.col("s").alias("node")))
+    else:
+        seed_df = sym.sparkSession.createDataFrame([(seed,)], "node string")
+    adj = sym
+    if max_degree is not None:
+        from pyspark.sql import Window as W
+        rn = F.row_number().over(
+            W.partitionBy("s").orderBy(F.col("d").asc()))
+        adj = (sym.withColumn("_rn", rn)
+               .filter(F.col("_rn") <= max_degree).drop("_rn")
+               .localCheckpoint())
+    visited = (seed_df.select("node", F.lit(0).alias("hop"))
+               .localCheckpoint())
+    frontier = visited.select("node")
+    for h in range(1, k + 1):
+        nxt = (frontier.join(adj, frontier["node"] == adj["s"])
+               .select(F.col("d").alias("node")).distinct()
+               .join(visited.select("node"), on="node", how="left_anti")
+               .select("node", F.lit(h).alias("hop"))
+               .localCheckpoint())
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited

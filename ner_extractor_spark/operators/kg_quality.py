@@ -576,3 +576,68 @@ def relation_patterns(triples: DataFrame, sentences: DataFrame,
                                       F.col("pattern").asc())
     return (cnt.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k))
+
+
+def predicate_signatures(triples: DataFrame) -> DataFrame:
+    """Statistical domain/range induction (the SDType idea — Paulheim
+    & Bizer 2013 — applied to an untyped web KG): LEARN each
+    predicate's (subj_label, obj_label) type signatures from the data
+    instead of hand-curating them, so ``typed_triples``' allow-list
+    can be produced by the pipeline itself.  Returns one row per
+    observed (pred, subj_label, obj_label) with its fact support,
+    share of the predicate's facts, per-predicate rank, and an
+    ``is_dominant`` flag (rank 1).
+
+    Support counts DISTINCT facts (subj, pred, obj + labels), not raw
+    mentions — a boilerplate page repeating one sentence a thousand
+    times must not vote a thousand times (same de-biasing choice as
+    predicate_stats).
+
+    Scale shape: one distinct + one (pred, label-pair)-keyed count
+    with map-side combine; the share and rank windows run over the
+    SIGNATURE table, whose size is bounded by predicates ×
+    label-pairs (tens of rows per predicate, never corpus-sized) —
+    broadcastable by nature, which is exactly what
+    ``signature_outliers`` does with it."""
+    facts = (triples.select("pred", "subj_surface", "subj_label",
+                            "obj_surface", "obj_label")
+             .distinct())
+    sig = (facts.groupBy("pred", "subj_label", "obj_label")
+           .agg(F.count(F.lit(1)).alias("n_facts")))
+    wp = W.partitionBy("pred")
+    wr = wp.orderBy(F.col("n_facts").desc(),
+                    F.col("subj_label").asc(), F.col("obj_label").asc())
+    return (sig.withColumn(
+                "share", F.round(F.col("n_facts")
+                                 / F.sum("n_facts").over(wp), 6))
+            .withColumn("rank", F.row_number().over(wr))
+            .withColumn("is_dominant", F.col("rank") == 1)
+            .select("pred", "subj_label", "obj_label", "n_facts",
+                    "share", "rank", "is_dominant"))
+
+
+def signature_outliers(triples: DataFrame,
+                       min_share: float = 0.1) -> DataFrame:
+    """The learned-schema audit: distinct facts whose (pred,
+    subj_label, obj_label) signature carries LESS than ``min_share``
+    of its predicate's support — the statistical replacement for
+    ``typed_triples``' hand-written allow-list (a LOC "founding" an
+    ORG surfaces here without anyone having declared that LOCs don't
+    found things).  Returns (subj, pred, obj, subj_label, obj_label,
+    sig_share) — the KG-noise review queue.
+
+    Scale shape: the signature table (bounded by predicates ×
+    label-pairs) is computed once and broadcast back onto the distinct
+    fact table — one broadcast equi-join, no second shuffle of the
+    corpus-sized side."""
+    sig = predicate_signatures(triples).select(
+        "pred", "subj_label", "obj_label", F.col("share").alias("sig_share"))
+    facts = (triples.select("pred", "subj_surface", "subj_label",
+                            "obj_surface", "obj_label")
+             .distinct())
+    return (facts.join(F.broadcast(sig),
+                       on=["pred", "subj_label", "obj_label"])
+            .filter(F.col("sig_share") < min_share)
+            .select(F.col("subj_surface").alias("subj"), "pred",
+                    F.col("obj_surface").alias("obj"),
+                    "subj_label", "obj_label", "sig_share"))

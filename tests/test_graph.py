@@ -147,3 +147,51 @@ def test_label_propagation_argmax_is_aggregate_not_window(spark):
     # aggregate; a Window-based rank here would re-sort every node's
     # candidate labels each round
     assert "Window" not in plan
+
+
+def test_khop_shortest_hop_and_no_reexpand(spark):
+    from ner_extractor_spark.operators.graph import khop_neighborhood
+    # path a-b-c-d plus shortcut a-c: c must report hop 1 via the
+    # shortcut, never 2 via b; d is hop 2; e-f is a disconnected
+    # component and must not appear
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "f")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["hop"]
+           for r in khop_neighborhood(df, k=3, seed="a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_khop_default_seed_is_top_degree_hub(spark):
+    from ner_extractor_spark.operators.graph import khop_neighborhood
+    # degrees (symmetrized): h=3, everything else <= 2 -> seed h
+    edges = [("h", "x"), ("h", "y"), ("h", "z"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["hop"]
+           for r in khop_neighborhood(df, k=1).collect()}
+    assert got == {"h": 0, "x": 1, "y": 1, "z": 1}
+
+
+def test_khop_max_degree_caps_traversal_not_seed_choice(spark):
+    from ner_extractor_spark.operators.graph import khop_neighborhood
+    # hub h has neighbors a..d; cap 2 keeps the two SMALLEST ids, so
+    # c and d become unreachable at hop 1 — and stay unreachable
+    # (nothing else links them); the seed is still h (true degree 4)
+    edges = [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["hop"]
+           for r in khop_neighborhood(df, k=2, max_degree=2).collect()}
+    assert got == {"h": 0, "a": 1, "b": 1}
+    # uncapped: all four neighbors at hop 1
+    full = {r["node"]: r["hop"]
+            for r in khop_neighborhood(df, k=2).collect()}
+    assert full == {"h": 0, "a": 1, "b": 1, "c": 1, "d": 1}
+
+
+def test_khop_hop_k_bound(spark):
+    from ner_extractor_spark.operators.graph import khop_neighborhood
+    # chain a-b-c-d-e: k=2 from a stops at c
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["hop"]
+           for r in khop_neighborhood(df, k=2, seed="a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}

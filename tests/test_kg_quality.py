@@ -416,3 +416,39 @@ def test_relation_patterns_between_spans(spark):
     assert got[("founded", "was founded by")] == (2, 1)
     assert got[("acquired", "acquired")] == (1, 1)
     assert len(got) == 2
+
+
+def _sig_triples(spark):
+    # pred 'p': 4 distinct ORG->ORG facts, 1 LOC->ORG fact (the
+    # schema-noise row), with the LOC fact MENTIONED three times
+    # (duplicate rows must not change fact-level support)
+    rows = ([("u1", i, 0, f"s{i}", "ORG", "p", 2, f"o{i}", "ORG")
+             for i in range(4)]
+            + [("u2", 9, 0, "lake", "LOC", "p", 2, "acme", "ORG")] * 3)
+    return spark.createDataFrame(
+        rows, "url string, sent_id int, subj_start int, "
+              "subj_surface string, subj_label string, pred string, "
+              "obj_start int, obj_surface string, obj_label string")
+
+
+def test_predicate_signatures_distinct_fact_support(spark):
+    from ner_extractor_spark.operators.kg_quality import \
+        predicate_signatures
+    got = {(r["subj_label"], r["obj_label"]):
+           (r["n_facts"], r["share"], r["rank"], r["is_dominant"])
+           for r in predicate_signatures(_sig_triples(spark)).collect()}
+    # triple-mentioned LOC fact counts ONCE: 4/5 vs 1/5
+    assert got[("ORG", "ORG")] == (4, 0.8, 1, True)
+    assert got[("LOC", "ORG")] == (1, 0.2, 2, False)
+
+
+def test_signature_outliers_threshold(spark):
+    from ner_extractor_spark.operators.kg_quality import \
+        signature_outliers
+    tri = _sig_triples(spark)
+    # share 0.2 < 0.25 -> the LOC fact is the one outlier
+    out = signature_outliers(tri, min_share=0.25).collect()
+    assert [(r["subj"], r["pred"], r["obj"], r["sig_share"])
+            for r in out] == [("lake", "p", "acme", 0.2)]
+    # tighter threshold: nothing qualifies
+    assert signature_outliers(tri, min_share=0.1).count() == 0
