@@ -90,6 +90,8 @@ HEADLINE = [
     "kg_predicate_stats",        # r06: AMIE functionality profile
     "kg_link_coherent",          # r06: document-coherence disambiguation
     "kg_relation_patterns",      # r06: Snowball pattern induction
+    "kg_type_signatures",        # r06: SDType domain/range induction
+    "kg_khop",                   # r06: bounded BFS entity neighborhood
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
