@@ -1755,6 +1755,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       F.col("dst_domain").alias("dst")),
             k=3, max_degree=4)
 
+    def kg_khop_subgraph(spark, sf):
+        # r06: the serving payload behind kg_khop — the neighborhood's
+        # INDUCED edge set (both endpoints within k hops), each edge
+        # annotated with endpoint hops; membership is cap-bounded so
+        # both joins broadcast and the edge table never shuffles
+        from ner_extractor_spark.operators.graph import (
+            induced_subgraph, khop_neighborhood)
+        from ner_extractor_spark.operators.weblinks import (
+            domain_link_graph, extract_links)
+        lg = domain_link_graph(extract_links(_link_pages(spark, sf)))
+        edges = lg.select(F.col("src_domain").alias("src"),
+                          F.col("dst_domain").alias("dst"), "n")
+        hood = khop_neighborhood(edges.select("src", "dst"),
+                                 k=3, max_degree=4)
+        return induced_subgraph(edges, hood)
+
     def web_robots_filter(spark, sf):
         # r06: crawl-politeness gating — RFC 9309 longest-match rules
         # (broadcast per-host directive table; longer prefix wins, tie
@@ -1811,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_signatures": kg_type_signatures,                # r06
         "kg_signature_outliers": kg_signature_outliers,          # r06
         "kg_khop": kg_khop,                                      # r06
+        "kg_khop_subgraph": kg_khop_subgraph,                    # r06
         "web_robots_filter": web_robots_filter,                  # r06
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
@@ -3806,6 +3823,61 @@ bfs(node, hop) AS (
   WHERE b.hop < 3
 )
 SELECT node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY 1""",
+
+        # kg_khop_subgraph: the neighborhood's induced edge set —
+        # the BFS UNROLLED to k=3 plain CTEs (mirroring the Spark loop
+        # hop for hop) rather than WITH RECURSIVE: DuckDB inflates the
+        # link-extraction CTE chain's cardinality under WITH RECURSIVE
+        # (kg_khop is immune — all its CTEs are DISTINCT — but the
+        # edge WEIGHTS here are count(*)-sensitive), then the weighted
+        # domain edges with BOTH endpoints inside the neighborhood,
+        # annotated with endpoint hops
+        "kg_khop_subgraph": "WITH " + _LINK_EDGES_SQL + """,
+kedges AS (
+  SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM e0
+  WHERE dst_domain != '' AND src_domain != ''
+),
+kwedges AS (
+  SELECT src_domain AS src, dst_domain AS dst,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e0 WHERE dst_domain != '' AND src_domain != ''
+  GROUP BY 1, 2
+),
+ksym AS (
+  SELECT src AS s, dst AS d FROM kedges
+  UNION
+  SELECT dst AS s, src AS d FROM kedges
+),
+kdeg AS (SELECT s, count(*) AS deg FROM ksym GROUP BY 1),
+kseed AS (SELECT s AS node FROM kdeg ORDER BY deg DESC, s ASC LIMIT 1),
+kadj AS (
+  SELECT s, d FROM (
+    SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d ASC) AS rn
+    FROM ksym) z
+  WHERE rn <= 4
+),
+h0 AS (SELECT node, 0 AS hop FROM kseed),
+h1 AS (
+  SELECT node, 1 AS hop FROM (
+    SELECT DISTINCT a.d AS node FROM h0 JOIN kadj a ON a.s = h0.node)
+  WHERE node NOT IN (SELECT node FROM h0)),
+h2 AS (
+  SELECT node, 2 AS hop FROM (
+    SELECT DISTINCT a.d AS node FROM h1 JOIN kadj a ON a.s = h1.node)
+  WHERE node NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1)),
+h3 AS (
+  SELECT node, 3 AS hop FROM (
+    SELECT DISTINCT a.d AS node FROM h2 JOIN kadj a ON a.s = h2.node)
+  WHERE node NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1
+                     UNION ALL SELECT node FROM h2)),
+hood AS (
+  SELECT node, CAST(hop AS INT) AS hop FROM (
+    SELECT * FROM h0 UNION ALL SELECT * FROM h1
+    UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3))
+SELECT e.src, e.dst, e.n, hs.hop AS src_hop, hd.hop AS dst_hop
+FROM kwedges e
+JOIN hood hs ON hs.node = e.src
+JOIN hood hd ON hd.node = e.dst""",
 
         "augment_entities": f"""
 WITH {MEN_SQL},

@@ -195,3 +195,31 @@ def test_khop_hop_k_bound(spark):
     got = {r["node"]: r["hop"]
            for r in khop_neighborhood(df, k=2, seed="a").collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_induced_subgraph_both_endpoints_required(spark):
+    from ner_extractor_spark.operators.graph import (induced_subgraph,
+                                                     khop_neighborhood)
+    # neighborhood of a (k=1): {a,b,c}; edge c->d leaves it, d->e is
+    # fully outside — only a-b, a-c, b-c survive, with endpoint hops
+    edges = [("a", "b", 5), ("a", "c", 2), ("b", "c", 1),
+             ("c", "d", 9), ("d", "e", 3)]
+    df = spark.createDataFrame(edges, "src string, dst string, n long")
+    hood = khop_neighborhood(df.select("src", "dst"), k=1, seed="a")
+    got = {(r["src"], r["dst"]): (r["n"], r["src_hop"], r["dst_hop"])
+           for r in induced_subgraph(df, hood).collect()}
+    assert got == {("a", "b"): (5, 0, 1),
+                   ("a", "c"): (2, 0, 1),
+                   ("b", "c"): (1, 1, 1)}
+
+
+def test_induced_subgraph_broadcast_plan(spark):
+    from ner_extractor_spark.operators.graph import (induced_subgraph,
+                                                     khop_neighborhood)
+    edges = [("a", "b", 1), ("b", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, n long")
+    hood = khop_neighborhood(df.select("src", "dst"), k=2, seed="a")
+    plan = (induced_subgraph(df, hood)
+            ._jdf.queryExecution().executedPlan().toString())
+    # membership joins broadcast; the edge table is never exchanged
+    assert "BroadcastHashJoin" in plan
