@@ -1755,6 +1755,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       F.col("dst_domain").alias("dst")),
             k=3, max_degree=4)
 
+    def kg_link_embed(spark, sf):
+        # r06: dense-retrieval fallback linking — the deterministic
+        # typo'd variants (same construction as kg_nil_clusters) are
+        # invisible to exact linking; the hashed char-3-gram bi-encoder
+        # recovers them by cosine top-1 over MinHash-LSH candidates
+        from ner_extractor_spark.operators.link import link_embed
+        m = _mentions(spark, sf)
+        variants = (m.filter(F.col("sent_id") % 5 == 0)
+                    .withColumn("surface", F.concat("surface", F.lit("s"))))
+        return link_embed(m.unionByName(variants), _aliases_df(spark),
+                          dim=32, min_sim=0.5)
+
     def kg_khop_subgraph(spark, sf):
         # r06: the serving payload behind kg_khop — the neighborhood's
         # INDUCED edge set (both endpoints within k hops), each edge
@@ -1828,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_signature_outliers": kg_signature_outliers,          # r06
         "kg_khop": kg_khop,                                      # r06
         "kg_khop_subgraph": kg_khop_subgraph,                    # r06
+        "kg_link_embed": kg_link_embed,                          # r06
         "web_robots_filter": web_robots_filter,                  # r06
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
@@ -3174,6 +3187,93 @@ nreach(node, comp) AS (
 ncanon AS (SELECT node, min(comp) AS c FROM nreach GROUP BY node)
 SELECT r.s AS alias_norm, 'NIL:' || ncanon.c AS nil_id
 FROM resid r JOIN ncanon ON ncanon.node = r.s""",
+
+        # kg_link_embed: dense-retrieval fallback linking — unlinked
+        # surfaces (incl. the deterministic typo variants) embedded as
+        # hashed char-3-gram count vectors (fold8(md5) % 32, same
+        # term_bucket as the classifier), cosine over MinHash-LSH band
+        # candidates (12 hashes, bands of 2 — the nil_clusters
+        # construction), top-1 per surface at sim >= 0.5, entity via
+        # the best-alias rule (max prior, min entity_id)
+        "kg_link_embed": f"""
+WITH {MEN_SQL},
+aliases(alias_norm, entity_id, entity_type, prior) AS (VALUES {ALIAS_VALUES}),
+abest AS (
+  SELECT alias_norm, entity_id FROM (
+    SELECT alias_norm, entity_id,
+           row_number() OVER (PARTITION BY alias_norm
+                              ORDER BY prior DESC, entity_id) AS rk
+    FROM aliases) z WHERE rk = 1
+),
+men2 AS (
+  SELECT surface FROM men
+  UNION ALL
+  SELECT surface || 's' FROM men WHERE sent_id % 5 = 0
+),
+eresid AS (
+  SELECT DISTINCT trim(regexp_replace(lower(surface), '\\s+', ' ', 'g')) AS s
+  FROM men2
+  WHERE trim(regexp_replace(lower(surface), '\\s+', ' ', 'g'))
+        NOT IN (SELECT alias_norm FROM aliases)
+),
+easurf AS (SELECT DISTINCT alias_norm AS s FROM aliases),
+ersh AS (
+  SELECT DISTINCT s, substring('^' || s || '$', g.i, 3) AS sh
+  FROM eresid,
+       unnest(generate_series(1, greatest(len('^' || s || '$') - 2, 1))) g(i)
+),
+eash AS (
+  SELECT DISTINCT s, substring('^' || s || '$', g.i, 3) AS sh
+  FROM easurf,
+       unnest(generate_series(1, greatest(len('^' || s || '$') - 2, 1))) g(i)
+),
+ersig AS (
+  SELECT s, t.k, min(md5(CAST(t.k AS VARCHAR) || '|' || sh)) AS h
+  FROM ersh, unnest(generate_series(0, 11)) t(k) GROUP BY s, t.k),
+erband AS (
+  SELECT s, CAST(k // 2 AS INT) AS band, string_agg(h, '' ORDER BY h) AS bh
+  FROM ersig GROUP BY s, CAST(k // 2 AS INT)),
+easig AS (
+  SELECT s, t.k, min(md5(CAST(t.k AS VARCHAR) || '|' || sh)) AS h
+  FROM eash, unnest(generate_series(0, 11)) t(k) GROUP BY s, t.k),
+eaband AS (
+  SELECT s, CAST(k // 2 AS INT) AS band, string_agg(h, '' ORDER BY h) AS bh
+  FROM easig GROUP BY s, CAST(k // 2 AS INT)),
+ecand AS (
+  SELECT DISTINCT r.s, a.s AS alias_r
+  FROM erband r JOIN eaband a ON r.band = a.band AND r.bh = a.bh
+),
+ercnt AS (
+  SELECT s, CAST({_hexn_fold_sql("md5(sh)", 8, 1)} % 32 AS INT) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ersh GROUP BY 1, 2),
+eacnt AS (
+  SELECT s, CAST({_hexn_fold_sql("md5(sh)", 8, 1)} % 32 AS INT) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM eash GROUP BY 1, 2),
+ernrm AS (SELECT s, sqrt(sum(c * c)) AS nrm FROM ercnt GROUP BY s),
+eanrm AS (SELECT s, sqrt(sum(c * c)) AS nrm FROM eacnt GROUP BY s),
+edots AS (
+  SELECT p.s, p.alias_r, sum(r.c * a.c) AS d
+  FROM ecand p
+  JOIN ercnt r ON r.s = p.s
+  JOIN eacnt a ON a.s = p.alias_r AND a.b = r.b
+  GROUP BY 1, 2),
+escore AS (
+  SELECT d.s AS alias_norm, d.alias_r,
+         round(d.d / (rn.nrm * an.nrm), 6) AS sim
+  FROM edots d
+  JOIN ernrm rn ON rn.s = d.s
+  JOIN eanrm an ON an.s = d.alias_r
+  WHERE round(d.d / (rn.nrm * an.nrm), 6) >= 0.5),
+etop AS (
+  SELECT alias_norm, alias_r, sim,
+         row_number() OVER (PARTITION BY alias_norm
+                            ORDER BY sim DESC, alias_r ASC) AS rk
+  FROM escore)
+SELECT t.alias_norm, t.alias_r AS matched_alias, b.entity_id, t.sim
+FROM etop t JOIN abest b ON b.alias_norm = t.alias_r
+WHERE t.rk = 1""",
 
         "kg_triple_provenance": f"""
 WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},

@@ -317,3 +317,82 @@ def link_coherent(mentions: DataFrame, aliases: DataFrame,
             .filter(F.col("_rk") == 1)
             .select("url", "sent_id", "start", "end", "surface",
                     "entity_id", "prior", "n_cand", "score"))
+
+
+def _surface_vec(df: DataFrame, key: str, dim: int) -> DataFrame:
+    """(key, vec: array<double> of hashed char-3-gram counts, nrm) —
+    the hashed bi-encoder stand-in for a learned surface encoder (same
+    posture as embed_text.hashed_tf_embed, character-level so typos
+    still overlap).  Counts are exact integers; the norm is the one
+    sqrt — the dot/(nrm*nrm) cosine downstream reproduces bit-stably
+    in DuckDB (same discipline as the ann family)."""
+    from .classifier import term_bucket
+    sh = df.select(F.col(key),
+                   _shingles(norm_surface(F.col(key))).alias("_sh"))
+    cnt = (sh.select(key, F.explode("_sh").alias("g"))
+           .groupBy(key, term_bucket(F.col("g"), dim).alias("b"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    m = (cnt.groupBy(key)
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("b", "c"))).alias("_m")))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0))
+        .cast("double"))
+    return (m.select(key, vec.alias("vec"))
+            .withColumn("nrm", F.sqrt(F.aggregate(
+                "vec", F.lit(0.0), lambda a, x: a + x * x))))
+
+
+def link_embed(mentions: DataFrame, aliases: DataFrame,
+               dim: int = 32, min_sim: float = 0.5,
+               candidates: str = "lsh") -> DataFrame:
+    """Dense-retrieval fallback linking — the hashed, deterministic
+    stand-in for a BLINK-style bi-encoder (Wu et al. 2020, public
+    recipe): surfaces that EXACT linking missed are embedded as hashed
+    char-3-gram count vectors and matched to the alias dictionary by
+    cosine, top-1 per surface at ``min_sim`` or better.  Catches what
+    the equality join cannot (typos, pluralization, case garbling)
+    while staying fully SQL-reproducible.  Returns (alias_norm,
+    matched_alias, entity_id, sim).
+
+    ``candidates='lsh'`` (default, the scale path): cosine is computed
+    ONLY for pairs sharing a MinHash band (``lsh_candidates`` — the
+    banded bucket join; per-surface work is bounded by band
+    collisions, never |dictionary|).  ``candidates='all'`` is the
+    exhaustive audit mode (broadcast cross join — dictionary-bounded,
+    same role as dedup's n_planes=0).
+
+    A production swap drops a learned encoder into the same (key, vec,
+    nrm) shape; every downstream step (candidate join, cosine, top-1
+    window) runs unchanged."""
+    resid = (unlinked(mentions, aliases)
+             .select("alias_norm").distinct())
+    al = best_alias_rows(aliases)
+    asurf = al.select(F.col("alias_norm").alias("alias_r")).distinct()
+    if candidates == "all":
+        cand = resid.crossJoin(F.broadcast(asurf))
+    else:
+        cand = (lsh_candidates(resid, "alias_norm", al, "alias_norm")
+                .withColumnRenamed("alias_norm_r", "alias_r"))
+    rv = _surface_vec(resid, "alias_norm", dim)
+    av = _surface_vec(asurf, "alias_r", dim)
+    dot = F.aggregate(F.zip_with("vec", "avec", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    scored = (cand.join(rv, on="alias_norm")
+              .join(F.broadcast(av.select("alias_r",
+                                          F.col("vec").alias("avec"),
+                                          F.col("nrm").alias("anrm"))),
+                    on="alias_r")
+              .withColumn("sim", F.round(dot / (F.col("nrm")
+                                                * F.col("anrm")), 6))
+              .filter(F.col("sim") >= min_sim))
+    wr = Window.partitionBy("alias_norm").orderBy(
+        F.col("sim").desc(), F.col("alias_r").asc())
+    return (scored.withColumn("_rk", F.row_number().over(wr))
+            .filter(F.col("_rk") == 1)
+            .join(F.broadcast(al.select(F.col("alias_norm")
+                                        .alias("alias_r"),
+                                        "entity_id")), on="alias_r")
+            .select("alias_norm", F.col("alias_r").alias("matched_alias"),
+                    "entity_id", "sim"))

@@ -157,3 +157,55 @@ def test_link_coherent_jaguar(spark):
             for r in link_coherent(mentions, aliases,
                                    relatedness=rel).collect()}
     assert got2[("d1", "jaguar")] == "Q-CAT"
+
+
+def test_link_embed_recovers_typos_exhaustive(spark):
+    """Dense fallback (candidates='all'): pluralized surfaces exact
+    linking misses must cosine-match their base alias; a surface far
+    from every alias must NOT link at min_sim=0.5."""
+    from ner_extractor_spark.operators.link import link_embed
+    from ner_extractor_spark.schemas import ALIASES as ALIAS_SCHEMA
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, 0, "Sparks", "ORG"),
+         ("u", 0, 2, 3, "customer  joins", "ALGO"),
+         ("u", 1, 0, 0, "zzqqvv", "MISC")],
+        "url string, sent_id int, start int, end int, "
+        "surface string, label string")
+    aliases = spark.createDataFrame(
+        [("spark", "Q-1", "ORG", 1.0),
+         ("spark", "Q-1B", "ORG", 0.5),
+         ("customer join", "Q-2", "ALGO", 1.0)], schema=ALIAS_SCHEMA)
+    got = {r["alias_norm"]: (r["matched_alias"], r["entity_id"])
+           for r in link_embed(mentions, aliases, dim=32, min_sim=0.5,
+                               candidates="all").collect()}
+    # normalization lowers + collapses whitespace before embedding
+    assert got["sparks"] == ("spark", "Q-1")          # prior beats Q-1B
+    assert got["customer joins"] == ("customer join", "Q-2")
+    assert "zzqqvv" not in got
+
+
+def test_link_embed_lsh_candidates_subset_of_exhaustive(spark):
+    """The banded scale path may only MISS pairs (band non-collision),
+    never invent them: lsh results are a subset of the exhaustive
+    mode's, and agree on every surface they share."""
+    from ner_extractor_spark.operators.link import link_embed
+    from ner_extractor_spark.schemas import ALIASES as ALIAS_SCHEMA
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, 0, "Sparks", "ORG"),
+         ("u", 0, 2, 3, "customer joins", "ALGO"),
+         ("u", 1, 0, 0, "windowss", "MISC")],
+        "url string, sent_id int, start int, end int, "
+        "surface string, label string")
+    aliases = spark.createDataFrame(
+        [("spark", "Q-1", "ORG", 1.0),
+         ("customer join", "Q-2", "ALGO", 1.0),
+         ("window", "Q-4", "MISC", 1.0)], schema=ALIAS_SCHEMA)
+    full = {r["alias_norm"]: (r["matched_alias"], r["entity_id"], r["sim"])
+            for r in link_embed(mentions, aliases, candidates="all")
+            .collect()}
+    lsh = {r["alias_norm"]: (r["matched_alias"], r["entity_id"], r["sim"])
+           for r in link_embed(mentions, aliases, candidates="lsh")
+           .collect()}
+    assert set(lsh) <= set(full)
+    for k in lsh:
+        assert lsh[k] == full[k]
