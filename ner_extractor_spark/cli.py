@@ -71,10 +71,13 @@ def main(argv=None):
                          "--use-html)")
     kg.add_argument("--run-id", default=None)
     kg.add_argument("--linker", default="exact",
-                    choices=["exact", "coherent"],
-                    help="entity linker: exact (broadcast alias join) "
-                         "or coherent (document-context "
-                         "disambiguation, corpus-derived relatedness)")
+                    choices=["exact", "coherent", "embed"],
+                    help="entity linker: exact (broadcast alias join), "
+                         "coherent (document-context "
+                         "disambiguation, corpus-derived relatedness), "
+                         "or embed (exact + dense-retrieval residual "
+                         "fallback: hashed char-3-gram cosine over LSH "
+                         "candidates)")
     kg.add_argument("--rules", action="store_true",
                     help="mine AMIE-style rules over the canonical "
                          "triples and back-fill rule-inferred facts "

@@ -93,27 +93,42 @@ def run_kg_pipeline(
             .join(mentions.select("url", "sent_id", "start", "label"),
                   on=["url", "sent_id", "start"])
             .withColumn("alias_norm", norm_surface(F.col("surface"))))
-    elif linker == "exact":
+    elif linker in ("exact", "embed"):
         linked = link_exact(mentions, aliases)
     else:
-        raise ValueError(f"linker: {linker!r} (expected exact|coherent)")
+        raise ValueError(f"linker: {linker!r} (expected exact|coherent|embed)")
     # residual near-miss candidates: unlinked surfaces vs alias strings
-    resid = unlinked(mentions, aliases).select("alias_norm").distinct()
-    cand = lsh_candidates(resid, "alias_norm",
-                          aliases.select("alias_norm").distinct(), "alias_norm")
-    # LSH candidates link a residual surface to the entity of the matched
-    # alias — the SAME disambiguation rule as link_exact (max prior, tie
-    # min entity_id), via the shared helper.
-    from ..operators.link import best_alias_rows
-    alias_best = best_alias_rows(aliases).select("alias_norm", "entity_id")
-    resid_entities = (
-        cand.withColumnRenamed("alias_norm_r", "matched_alias")
-        .join(alias_best.withColumnRenamed("alias_norm", "matched_alias"),
-              on="matched_alias")
-        .select("alias_norm", "entity_id")
-    )
-    resid_linked = resid_entities.groupBy("alias_norm").agg(
-        F.min("entity_id").alias("entity_id"))
+    if linker == "embed":
+        # dense-retrieval residual resolution: cosine-RANKED top-1 over
+        # the same LSH candidate pairs (operators/link.link_embed) —
+        # when a typo'd surface band-matches several aliases, the
+        # closest one wins instead of the smallest entity id, and
+        # sub-threshold matches fall through to the S- surface ids
+        from ..operators.link import link_embed
+        resid_linked = (link_embed(mentions, aliases)
+                        .select("alias_norm", "entity_id"))
+        # ranked resolution picks ONE entity per residual surface, so
+        # the surface contributes no entity-merge edges downstream
+        # (the x < y self-join below is empty by construction)
+        resid_entities = resid_linked
+    else:
+        resid = unlinked(mentions, aliases).select("alias_norm").distinct()
+        cand = lsh_candidates(resid, "alias_norm",
+                              aliases.select("alias_norm").distinct(),
+                              "alias_norm")
+        # LSH candidates link a residual surface to the entity of the
+        # matched alias — the SAME disambiguation rule as link_exact
+        # (max prior, tie min entity_id), via the shared helper.
+        from ..operators.link import best_alias_rows
+        alias_best = best_alias_rows(aliases).select("alias_norm", "entity_id")
+        resid_entities = (
+            cand.withColumnRenamed("alias_norm_r", "matched_alias")
+            .join(alias_best.withColumnRenamed("alias_norm", "matched_alias"),
+                  on="matched_alias")
+            .select("alias_norm", "entity_id")
+        )
+        resid_linked = resid_entities.groupBy("alias_norm").agg(
+            F.min("entity_id").alias("entity_id"))
     m_norm = mentions.withColumn("alias_norm", norm_surface(F.col("surface")))
     resid_mentions = (
         m_norm.join(F.broadcast(aliases.select("alias_norm")), "alias_norm", "left_anti")

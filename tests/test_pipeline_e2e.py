@@ -123,3 +123,28 @@ def test_coherent_linker_parity_when_silent(spark, corpus, tmp_path):
     with pytest.raises(ValueError):
         run_kg_pipeline(spark, pages, aliases, synth.tagger_dictionary(),
                         str(tmp_path / "bad"), linker="fuzzy")
+
+
+def test_embed_linker_ranks_residuals_by_cosine(spark, corpus, tmp_path):
+    """linker='embed' swaps the residual LSH min(entity_id) rule for
+    cosine-ranked top-1: on the clean corpus both modes must produce
+    identically many triples and agree on every exactly-linked fact;
+    residual surfaces may only move BETWEEN candidate entities (or to
+    their S- surface id), never vanish (the totality invariant)."""
+    _, pages, _, aliases = corpus
+    re_ = run_kg_pipeline(spark, pages, aliases, synth.tagger_dictionary(),
+                          str(tmp_path / "ex2"))
+    rb = run_kg_pipeline(spark, pages, aliases, synth.tagger_dictionary(),
+                         str(tmp_path / "em"), linker="embed")
+    a = re_.triples.select("url", "sent_id", "pred").collect()
+    b = rb.triples.select("url", "sent_id", "pred").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
+    # facts whose endpoints are canonical Q- entities in BOTH modes
+    # (i.e. exact-linked) are identical
+    qa = {tuple(r) for r in re_.triples.filter(
+        "subj LIKE 'Q-%' AND obj LIKE 'Q-%'")
+        .select("subj", "pred", "obj", "url", "sent_id").collect()}
+    qb = {tuple(r) for r in rb.triples.filter(
+        "subj LIKE 'Q-%' AND obj LIKE 'Q-%'")
+        .select("subj", "pred", "obj", "url", "sent_id").collect()}
+    assert qa == qb
