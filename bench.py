@@ -92,6 +92,7 @@ HEADLINE = [
     "kg_relation_patterns",      # r06: Snowball pattern induction
     "kg_type_signatures",        # r06: SDType domain/range induction
     "kg_khop",                   # r06: bounded BFS entity neighborhood
+    "kg_link_embed",             # r06: dense-retrieval fallback linking
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
