@@ -1767,6 +1767,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return link_embed(m.unionByName(variants), _aliases_df(spark),
                           dim=32, min_sim=0.5)
 
+    def kg_entity_cards(spark, sf):
+        # r06: per-entity serving card — top-5 facts by evidence over
+        # the provenance rollup plus fact/predicate totals (the entity
+        # page's payload, alongside kg_khop_subgraph's local graph)
+        from ner_extractor_spark.operators.kg_quality import (
+            entity_cards, triple_provenance)
+        return entity_cards(triple_provenance(_triples_df(spark, sf),
+                                              _pages(spark, sf)))
+
     def kg_khop_subgraph(spark, sf):
         # r06: the serving payload behind kg_khop — the neighborhood's
         # INDUCED edge set (both endpoints within k hops), each edge
@@ -1841,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop": kg_khop,                                      # r06
         "kg_khop_subgraph": kg_khop_subgraph,                    # r06
         "kg_link_embed": kg_link_embed,                          # r06
+        "kg_entity_cards": kg_entity_cards,                      # r06
         "web_robots_filter": web_robots_filter,                  # r06
         "curation_calibrate_approx": curation_calibrate_approx,  # r06
         "corpus_curation_neardup": corpus_curation_neardup,      # r06
@@ -3293,6 +3303,39 @@ SELECT t.subj_surface AS subj, t.pred, t.obj_surface AS obj,
        max(p.warc_ts) AS last_seen
 FROM tri t JOIN pts p USING (url)
 GROUP BY 1, 2, 3""",
+
+        # kg_entity_cards: per-subject top-5 facts by evidence over
+        # the provenance rollup (ordering replicated literally) + the
+        # card-header totals
+        "kg_entity_cards": f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+pts AS (
+  SELECT url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT))
+           AS warc_ts
+  FROM pages
+),
+cprov AS (
+  SELECT t.subj_surface AS subj, t.pred, t.obj_surface AS obj,
+         CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(count(DISTINCT t.url) AS BIGINT) AS n_sources,
+         min(p.warc_ts) AS first_seen
+  FROM tri t JOIN pts p USING (url)
+  GROUP BY 1, 2, 3),
+ctot AS (
+  SELECT subj, CAST(count(*) AS BIGINT) AS n_facts,
+         CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
+  FROM cprov GROUP BY 1),
+crk AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY subj
+    ORDER BY n_sources DESC, n_mentions DESC, first_seen ASC,
+             pred ASC, obj ASC) AS INT) AS rank
+  FROM cprov)
+SELECT r.subj, r.pred, r.obj, r.n_sources, r.n_mentions, r.first_seen,
+       r.rank, t.n_facts, t.n_preds
+FROM crk r JOIN ctot t USING (subj)
+WHERE r.rank <= 5""",
 
         "kg_negative_samples": f"""
 WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},

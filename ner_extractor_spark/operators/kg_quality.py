@@ -641,3 +641,30 @@ def signature_outliers(triples: DataFrame,
             .select(F.col("subj_surface").alias("subj"), "pred",
                     F.col("obj_surface").alias("obj"),
                     "subj_label", "obj_label", "sig_share"))
+
+
+def entity_cards(prov: DataFrame, top_k: int = 5) -> DataFrame:
+    """Per-entity serving card — with ``khop_neighborhood`` /
+    ``induced_subgraph`` this completes what an entity page renders:
+    the subject's ``top_k`` facts ranked by EVIDENCE (distinct sources
+    desc, mention count desc, earliest capture asc, pred/obj asc — the
+    truth-discovery ordering of resolve_facts without the
+    single-object restriction), plus the subject's total fact and
+    predicate counts (the card header).
+
+    Scale shape: one window + one aggregate, both keyed on subj over
+    the already-rolled-up provenance table (one row per distinct
+    fact); the window frame is bounded by facts-per-entity.  No join
+    back to the corpus."""
+    wr = W.partitionBy("subj").orderBy(
+        F.col("n_sources").desc(), F.col("n_mentions").desc(),
+        F.col("first_seen").asc(), F.col("pred").asc(),
+        F.col("obj").asc())
+    totals = (prov.groupBy("subj")
+              .agg(F.count(F.lit(1)).alias("n_facts"),
+                   F.countDistinct("pred").alias("n_preds")))
+    return (prov.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= top_k)
+            .join(totals, on="subj")
+            .select("subj", "pred", "obj", "n_sources", "n_mentions",
+                    "first_seen", "rank", "n_facts", "n_preds"))

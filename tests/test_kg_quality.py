@@ -452,3 +452,28 @@ def test_signature_outliers_threshold(spark):
             for r in out] == [("lake", "p", "acme", 0.2)]
     # tighter threshold: nothing qualifies
     assert signature_outliers(tri, min_share=0.1).count() == 0
+
+
+def test_entity_cards_evidence_ordering(spark):
+    from ner_extractor_spark.operators.kg_quality import entity_cards
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    rows = [
+        # subj a: 3 facts — f2 wins on n_sources, f1 beats f3 on
+        # first_seen at equal sources/mentions
+        ("a", "p", "x", 5, 1, t1),
+        ("a", "p", "y", 5, 2, t0),
+        ("a", "q", "z", 5, 1, t0),
+        ("b", "p", "x", 1, 1, t0),
+    ]
+    prov = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, n_mentions long, "
+              "n_sources long, first_seen timestamp")
+    got = {(r["subj"], r["rank"]): (r["pred"], r["obj"],
+                                    r["n_facts"], r["n_preds"])
+           for r in entity_cards(prov, top_k=2).collect()}
+    assert got[("a", 1)] == ("p", "y", 3, 2)   # most sources
+    assert got[("a", 2)] == ("q", "z", 3, 2)   # earlier first_seen
+    assert got[("b", 1)] == ("p", "x", 1, 1)
+    assert ("a", 3) not in got                 # top_k enforced
