@@ -93,6 +93,7 @@ HEADLINE = [
     "kg_type_signatures",        # r06: SDType domain/range induction
     "kg_khop",                   # r06: bounded BFS entity neighborhood
     "kg_link_embed",             # r06: dense-retrieval fallback linking
+    "kg_entity_cards",           # r06: per-entity fact-card payload
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
