@@ -652,19 +652,22 @@ def entity_cards(prov: DataFrame, top_k: int = 5) -> DataFrame:
     single-object restriction), plus the subject's total fact and
     predicate counts (the card header).
 
-    Scale shape: one window + one aggregate, both keyed on subj over
-    the already-rolled-up provenance table (one row per distinct
-    fact); the window frame is bounded by facts-per-entity.  No join
-    back to the corpus."""
-    wr = W.partitionBy("subj").orderBy(
+    Scale shape: the rank AND the totals are windows over ONE subj
+    partitioning of the already-rolled-up provenance table (one row
+    per distinct fact) — a groupBy+join formulation was measured to
+    plan a second subj exchange plus a SortMergeJoin; the all-window
+    form reuses a single exchange.  Frames are bounded by
+    facts-per-entity.  No join back to the corpus."""
+    wp = W.partitionBy("subj")
+    wr = wp.orderBy(
         F.col("n_sources").desc(), F.col("n_mentions").desc(),
         F.col("first_seen").asc(), F.col("pred").asc(),
         F.col("obj").asc())
-    totals = (prov.groupBy("subj")
-              .agg(F.count(F.lit(1)).alias("n_facts"),
-                   F.countDistinct("pred").alias("n_preds")))
-    return (prov.withColumn("rank", F.row_number().over(wr))
+    return (prov
+            .withColumn("n_facts", F.count(F.lit(1)).over(wp))
+            .withColumn("n_preds",
+                        F.size(F.collect_set("pred").over(wp)).cast("long"))
+            .withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= top_k)
-            .join(totals, on="subj")
             .select("subj", "pred", "obj", "n_sources", "n_mentions",
                     "first_seen", "rank", "n_facts", "n_preds"))
