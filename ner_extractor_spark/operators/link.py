@@ -166,7 +166,8 @@ def minhash_signature_from(sh_col, n_hashes: int = N_HASHES):
 def lsh_candidates(left: DataFrame, left_key: str,
                    right: DataFrame, right_key: str,
                    n_hashes: int = N_HASHES,
-                   band_size: int = BAND_SIZE) -> DataFrame:
+                   band_size: int = BAND_SIZE,
+                   broadcast_right: bool = False) -> DataFrame:
     """Band-bucket join: pairs sharing any minhash band (bands of
     ``band_size`` ≥ 2 minhashes, same construction as operators/dedup).
 
@@ -176,6 +177,12 @@ def lsh_candidates(left: DataFrame, left_key: str,
     all surfaces into one bucket — ALL hashes of the band must agree, not
     one.  Bucket-share bound pinned by tests/test_skew_bucketing.py; AQE
     splits any residual hot bucket.
+
+    ``broadcast_right=True`` declares the right side DICTIONARY-BOUNDED
+    (alias surfaces × bands): its band table broadcasts, so the
+    corpus-sized left band table never shuffles.  Leave False for
+    corpus×corpus pairings (nil_clusters' resid×resid), where neither
+    side fits a broadcast.
     """
     def bands(df, key):
         base = df.select(F.col(key),
@@ -195,6 +202,8 @@ def lsh_candidates(left: DataFrame, left_key: str,
     if left_key == right_key:
         rb = rb.withColumnRenamed(right_key, right_key + "_r")
         right_key = right_key + "_r"
+    if broadcast_right:
+        rb = F.broadcast(rb)
     return (
         lb.join(rb, on=["band", "bh"])
         .select(left_key, right_key)
@@ -373,7 +382,8 @@ def link_embed(mentions: DataFrame, aliases: DataFrame,
     if candidates == "all":
         cand = resid.crossJoin(F.broadcast(asurf))
     else:
-        cand = (lsh_candidates(resid, "alias_norm", al, "alias_norm")
+        cand = (lsh_candidates(resid, "alias_norm", al, "alias_norm",
+                                broadcast_right=True)
                 .withColumnRenamed("alias_norm_r", "alias_r"))
     rv = _surface_vec(resid, "alias_norm", dim)
     av = _surface_vec(asurf, "alias_r", dim)

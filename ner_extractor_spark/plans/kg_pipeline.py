@@ -115,7 +115,7 @@ def run_kg_pipeline(
         resid = unlinked(mentions, aliases).select("alias_norm").distinct()
         cand = lsh_candidates(resid, "alias_norm",
                               aliases.select("alias_norm").distinct(),
-                              "alias_norm")
+                              "alias_norm", broadcast_right=True)
         # LSH candidates link a residual surface to the entity of the
         # matched alias — the SAME disambiguation rule as link_exact
         # (max prior, tie min entity_id), via the shared helper.

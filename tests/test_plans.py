@@ -247,3 +247,40 @@ def test_rule_mining_barrier_and_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     # every P consumer reads the barrier leaf, not the source table
     assert plan.count("ExistingRDD") >= 6, plan.count("ExistingRDD")
+
+
+def test_entity_cards_single_partitioning_no_join(spark):
+    """Card totals are windows over the rank's subj partitioning —
+    the groupBy+join formulation planned a second subj exchange plus
+    a SortMergeJoin (plan audit r06: SMJ 1 -> 0, exchanges 11 -> 5)."""
+    import datetime as dt
+    from ner_extractor_spark.operators.kg_quality import entity_cards
+    prov = spark.createDataFrame(
+        [("a", "p", "x", 1, 1, dt.datetime(2024, 1, 1))],
+        "subj string, pred string, obj string, n_mentions long, "
+        "n_sources long, first_seen timestamp")
+    plan = (entity_cards(prov)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_link_embed_alias_side_broadcasts(spark):
+    """The dense linker's dictionary-sided joins must broadcast: the
+    alias BAND table (broadcast_right=True — without it the
+    corpus-sized residual band table shuffles against a
+    dictionary-bounded one), the alias vectors, and the entity
+    resolution.  The residual-vector join stays a shuffle join by
+    design (corpus×corpus)."""
+    from ner_extractor_spark.operators.link import link_embed
+    from ner_extractor_spark.schemas import ALIASES as ALIAS_SCHEMA
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, 0, "Sparks", "ORG")],
+        "url string, sent_id int, start int, end int, "
+        "surface string, label string")
+    aliases = spark.createDataFrame(
+        [("spark", "Q-1", "ORG", 1.0)], schema=ALIAS_SCHEMA)
+    plan = (link_embed(mentions, aliases)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    # the band-bucket join must never sort-merge on (band, bh)
+    assert "SortMergeJoin [band" not in plan, plan
