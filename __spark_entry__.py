@@ -1792,6 +1792,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  k=3, max_degree=4)
         return induced_subgraph(edges, hood)
 
+    def kg_export_ntriples(spark, sf):
+        # r06: the KG's interchange materialization — RDF 1.1
+        # N-Triples lines (fact + rdf:type + rdfs:label statements,
+        # ECHAR-escaped literals, md5-bucketed partition key) over the
+        # extracted triple table; pure JVM string algebra, no UDFs
+        from ner_extractor_spark.sources.ntriples import to_ntriples
+        return to_ntriples(_triples_df(spark, sf))
+
+    def dedup_blocking_stats(spark, sf):
+        # r06: blocking-quality audit of the MinHash-LSH candidate
+        # generator — reduction ratio / pairs completeness / pairs
+        # quality vs the exact-Jaccard truth set (Christen 2012); the
+        # tuning dial read before a 100 TB dedup run (on a sampled
+        # slice at scale — quadratic truth side, see docstring)
+        from ner_extractor_spark.operators.dedup import blocking_stats
+        return blocking_stats(_docs(spark, sf), threshold=0.5)
+
     def web_robots_filter(spark, sf):
         # r06: crawl-politeness gating — RFC 9309 longest-match rules
         # (broadcast per-host directive table; longer prefix wins, tie
@@ -1827,6 +1844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # class, after the alphabetical key.)
     return _rotate_contract({
         # -- new / changed this round --------------------------------
+        "kg_export_ntriples": kg_export_ntriples,                # r06
+        "dedup_blocking_stats": dedup_blocking_stats,            # r06
         "kg_transe": kg_transe,                                  # r06
         "kg_transe_eval": kg_transe_eval,                        # r06
         "kg_link_predict": kg_link_predict,                      # r06
@@ -3577,6 +3596,43 @@ FROM documents GROUP BY 1""",
         "dedup_minhash_pairs": f"""
 WITH {_minhash_bands_sql()}
 SELECT a, b FROM mpairs""",
+
+        # blocking-quality audit: candidates from the banded LSH
+        # replica, truth from the exact shingle-equijoin Jaccard
+        # (exhaustive — any pair with jaccard > 0 shares a shingle)
+        "dedup_blocking_stats": f"""
+WITH {_minhash_bands_sql()},
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS ninter
+  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes za ON za.doc_id = i.a
+  JOIN sizes zb ON zb.doc_id = i.b
+  WHERE CAST(i.ninter AS DOUBLE) / (za.nsh + zb.nsh - i.ninter) >= 0.5
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+nc AS (SELECT count(*) AS n_candidates FROM mpairs),
+nt AS (SELECT count(*) AS n_true_pairs FROM truth),
+cg AS (
+  SELECT count(*) AS n_caught
+  FROM truth t JOIN mpairs c ON c.a = t.a AND c.b = t.b
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       round(CAST(n_caught AS DOUBLE) / greatest(n_true_pairs, 1), 6)
+         AS pairs_completeness,
+       round(CAST(n_caught AS DOUBLE) / greatest(n_candidates, 1), 6)
+         AS pairs_quality,
+       round(1.0 - CAST(n_candidates AS DOUBLE)
+                   / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2), 6)
+         AS reduction_ratio
+FROM nd, nc, nt, cg""",
 
         "dedup_jaccard": f"""
 WITH {_minhash_bands_sql()},
@@ -5687,6 +5743,56 @@ canonnd AS (SELECT node, min(comp) AS nd_keeper FROM reachnd
             .replace(case_old, case_new, 1)
             .replace(join_old, join_new, 1))
     d["corpus_curation_neardup"] = body + tailc
+
+    # kg_export_ntriples: RDF N-Triples serialization of the triple
+    # table (sources/ntriples.py) — slug/ECHAR-escape/bucket replicated
+    # as portable string algebra
+    def _slug(e: str) -> str:
+        return ("regexp_replace(regexp_replace(lower(" + e +
+                "), '[^a-z0-9]+', '_', 'g'), '^_+|_+$', '', 'g')")
+
+    _esc = ("replace(replace(replace(replace(replace(surface, "
+            "chr(92), chr(92)||chr(92)), '\"', chr(92)||'\"'), "
+            "chr(10), chr(92)||'n'), chr(13), chr(92)||'r'), "
+            "chr(9), chr(92)||'t')")
+    _B = "http://kg.invalid/"
+    d["kg_export_ntriples"] = f"""
+WITH {MEN_SQL},{_TRI_BODY.format(pred_list=pred_list)},
+ents AS (
+  SELECT subj_surface AS surface, subj_label AS label FROM tri
+  UNION ALL
+  SELECT obj_surface, obj_label FROM tri
+),
+slugged AS (
+  SELECT {_slug('surface')} AS sslug, surface, label FROM ents
+),
+fl AS (
+  SELECT DISTINCT {_slug('subj_surface')} AS sslug, pred,
+         {_slug('obj_surface')} AS oslug
+  FROM tri
+),
+stmts AS (
+  SELECT 'fact' AS kind, sslug,
+         '<{_B}e/' || sslug || '> <{_B}p/' || pred || '> <{_B}e/'
+           || oslug || '> .' AS line
+  FROM fl
+  UNION ALL
+  SELECT 'type', sslug,
+         '<{_B}e/' || sslug
+           || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{_B}c/'
+           || label || '> .'
+  FROM (SELECT DISTINCT sslug, label FROM slugged)
+  UNION ALL
+  SELECT 'label', sslug,
+         '<{_B}e/' || sslug
+           || '> <http://www.w3.org/2000/01/rdf-schema#label> "'
+           || {_esc} || '" .'
+  FROM (SELECT DISTINCT sslug, surface FROM slugged)
+)
+SELECT kind,
+       CAST({_hex4_fold_sql("md5(sslug)")} % 64 AS INT) AS part,
+       line
+FROM stmts"""
     return d
 
 

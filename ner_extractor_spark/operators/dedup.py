@@ -524,3 +524,73 @@ def dup_ngram_fraction(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col, "n_ngrams", "n_dup",
                     F.round(F.col("n_dup") / F.col("n_ngrams"), 6)
                     .alias("dup_fraction")))
+
+
+def blocking_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n_hashes: int = N_HASHES,
+                   band_size: int = BAND_SIZE, threshold: float = 0.5,
+                   shingle_n: int = 3) -> DataFrame:
+    """Blocking-quality audit of the MinHash-LSH candidate generator:
+    the three standard blocking metrics (Christen, "Data Matching",
+    2012) against the exact-Jaccard truth set.
+
+    Returns ONE row: (n_docs, n_candidates, n_true_pairs, n_caught,
+    pairs_completeness, pairs_quality, reduction_ratio) where
+    completeness = caught/true (the blocking's recall), quality =
+    caught/candidates (its precision), and reduction_ratio =
+    1 - candidates / C(n_docs, 2) (the fraction of the quadratic
+    comparison space the blocking eliminated).  This is the number you
+    tune ``n_hashes``/``band_size`` against before a 100 TB dedup run.
+
+    Scale posture: the CANDIDATE side is the production LSH path
+    (banded bucket join, no all-pairs).  The TRUTH side is inherently
+    quadratic-per-shared-shingle (a shingle self-join) — it is exact
+    and safe at audit scale, but at web scale this operator is meant
+    to run on a SAMPLED slice (e.g. ``sample_deterministic`` of 10^5
+    docs), never the full corpus; the metrics are unbiased under
+    uniform doc sampling of the slice.  All four counts are 1-row
+    aggregates crossJoined at the end (broadcast, driver never
+    collects intermediate pairs).
+    """
+    cand = (minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
+                              n_hashes=n_hashes, band_size=band_size)
+            .localCheckpoint())  # consumed twice: count + caught join
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(word_shingles(F.col(text_col), shingle_n))
+                      .alias("shingle"))
+          .localCheckpoint())  # consumed thrice: sizes + both join sides
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
+    # any pair with jaccard > 0 shares >= 1 shingle, so the
+    # shingle-equijoin enumeration of the truth set is exact for any
+    # threshold > 0
+    inter = (sh.select(F.col("id").alias("a"), "shingle")
+             .join(sh.select(F.col("id").alias("b"), "shingle"),
+                   on="shingle")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("ninter")))
+    truth = (inter
+             .join(sizes.select(F.col("id").alias("a"),
+                                F.col("nsh").alias("na")), on="a")
+             .join(sizes.select(F.col("id").alias("b"),
+                                F.col("nsh").alias("nb")), on="b")
+             .filter(F.col("ninter")
+                     / (F.col("na") + F.col("nb") - F.col("ninter"))
+                     >= F.lit(threshold))
+             .select("a", "b")
+             .localCheckpoint())  # consumed twice: count + caught join
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    cg = (truth.join(cand, on=["a", "b"])
+          .agg(F.count(F.lit(1)).alias("n_caught")))
+    all_pairs = F.col("n_docs") * (F.col("n_docs") - 1) / 2
+    return (nd.crossJoin(nc).crossJoin(nt).crossJoin(cg)
+            .select("n_docs", "n_candidates", "n_true_pairs", "n_caught",
+                    F.round(F.col("n_caught")
+                            / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+                            6).alias("pairs_completeness"),
+                    F.round(F.col("n_caught")
+                            / F.greatest(F.col("n_candidates"), F.lit(1)),
+                            6).alias("pairs_quality"),
+                    F.round(F.lit(1.0) - F.col("n_candidates") / all_pairs,
+                            6).alias("reduction_ratio")))

@@ -338,3 +338,23 @@ def test_minhash_agg_form_equals_hof_signature(spark):
                F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle"))))
                .alias(f"h{k}") for k in range(12)]).collect()}
     assert hof == agg
+
+
+def test_blocking_stats(spark):
+    from ner_extractor_spark.operators.dedup import blocking_stats
+    r = blocking_stats(_docs(spark), threshold=0.5).collect()
+    assert len(r) == 1
+    m = r[0].asDict()
+    assert m["n_docs"] == 5
+    # docs 1/2/5 are identical after normalization (3 true pairs at
+    # jaccard 1.0) and doc 3 is one word off (jaccard well above 0.5
+    # with all three) -> 6 true pairs, every one sharing all bands
+    assert m["n_true_pairs"] == 6
+    assert m["n_caught"] == 6
+    assert m["pairs_completeness"] == 1.0
+    # quality and reduction ratio are well-formed fractions
+    assert 0.0 < m["pairs_quality"] <= 1.0
+    assert m["n_candidates"] >= m["n_caught"]
+    assert 0.0 <= m["reduction_ratio"] <= 1.0
+    # reduction ratio is exactly 1 - candidates / C(5,2)
+    assert m["reduction_ratio"] == round(1.0 - m["n_candidates"] / 10.0, 6)

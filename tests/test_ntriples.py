@@ -1,0 +1,69 @@
+"""N-Triples export sink (sources/ntriples.py): ECHAR escaping, lossy
+slug + lossless label inverse, statement distinctness, bucket key."""
+
+from pyspark.sql import functions as F
+
+from ner_extractor_spark.sources.ntriples import (escape_literal, iri_slug,
+                                                  to_ntriples,
+                                                  write_ntriples)
+
+TRI = ("subj_surface string, subj_label string, pred string, "
+       "obj_surface string, obj_label string")
+
+
+def _tri(spark):
+    return spark.createDataFrame([
+        ("Acme Corp.", "ORG", "acquired", 'Bob "Binky" O\'Neil', "PER"),
+        ("Acme Corp", "ORG", "acquired", "Tab\there", "PER"),
+        # duplicate mention of the first fact from another sentence
+        ("Acme Corp.", "ORG", "acquired", 'Bob "Binky" O\'Neil', "PER"),
+    ], TRI)
+
+
+def test_escape_literal_echar_set(spark):
+    row = (spark.range(1)
+           .select(escape_literal(F.lit('a\\b"c\nd\re\tf')).alias("s"))
+           .first())
+    assert row["s"] == 'a\\\\b\\"c\\nd\\re\\tf'
+
+
+def test_iri_slug(spark):
+    rows = (spark.createDataFrame([("  Acme, Corp.!!",), ("acme corp",)],
+                                  "s string")
+            .select(iri_slug(F.col("s")).alias("g")).collect())
+    assert [r["g"] for r in rows] == ["acme_corp", "acme_corp"]
+
+
+def test_to_ntriples_statements(spark):
+    out = to_ntriples(_tri(spark)).collect()
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["kind"], set()).add(r["line"])
+    # duplicate fact mention emits ONCE; two distinct facts total
+    assert len(by_kind["fact"]) == 2
+    assert ("<http://kg.invalid/e/acme_corp> <http://kg.invalid/p/acquired>"
+            " <http://kg.invalid/e/bob_binky_o_neil> ." in by_kind["fact"])
+    # slug collision ('Acme Corp.' vs 'Acme Corp') -> ONE type line,
+    # TWO label lines (the lossless inverse keeps both spellings)
+    acme_types = [l for l in by_kind["type"] if "/e/acme_corp>" in l]
+    assert len(acme_types) == 1 and "/c/ORG>" in acme_types[0]
+    acme_labels = sorted(l for l in by_kind["label"] if "/e/acme_corp>" in l)
+    assert [l.split('"')[1] for l in acme_labels] == ["Acme Corp",
+                                                      "Acme Corp."]
+    # escaped literal on the wire
+    assert any('"Bob \\"Binky\\" O\'Neil"' in l for l in by_kind["label"])
+    assert any('"Tab\\there"' in l for l in by_kind["label"])
+    # every line is terminated and every bucket in range
+    assert all(r["line"].endswith(" .") for r in out)
+    assert all(0 <= r["part"] < 64 for r in out)
+
+
+def test_write_ntriples_roundtrip(spark, tmp_path):
+    lines = to_ntriples(_tri(spark))
+    path = str(tmp_path / "nt")
+    write_ntriples(lines, path)
+    back = spark.read.text(path)
+    assert back.count() == lines.count()
+    # partition directories carry the bucket key
+    import os
+    assert any(d.startswith("part=") for d in os.listdir(path))
