@@ -94,6 +94,8 @@ HEADLINE = [
     "kg_khop",                   # r06: bounded BFS entity neighborhood
     "kg_link_embed",             # r06: dense-retrieval fallback linking
     "kg_entity_cards",           # r06: per-entity fact-card payload
+    "kg_export_ntriples",        # r06: RDF N-Triples serialization
+    "dedup_blocking_stats",      # r06: LSH blocking-quality audit
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
