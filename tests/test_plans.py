@@ -284,3 +284,36 @@ def test_link_embed_alias_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     # the band-bucket join must never sort-merge on (band, bh)
     assert "SortMergeJoin [band" not in plan, plan
+
+
+def test_ntriples_export_no_joins_no_python(spark):
+    """The N-Triples sink is pure string algebra over three
+    distinct-aggregates + a union: any Join or Python-eval node in
+    the plan means a regression from the declarative form."""
+    from ner_extractor_spark.sources.ntriples import to_ntriples
+    tri = spark.createDataFrame(
+        [("A Corp", "ORG", "acquired", "B Inc", "ORG")],
+        "subj_surface string, subj_label string, pred string, "
+        "obj_surface string, obj_label string")
+    plan = (to_ntriples(tri)._jdf.queryExecution()
+            .executedPlan().toString())
+    for node in ("Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, plan
+    assert "Union" in plan
+
+
+def test_blocking_stats_joins_are_keyed(spark):
+    """blocking_stats' pair enumeration must join on the shingle /
+    pair keys — a CartesianProduct or broadcast NLJ anywhere means
+    the quadratic space is being enumerated directly."""
+    from ner_extractor_spark.operators.dedup import blocking_stats
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")],
+        "doc_id long, text string")
+    plan = (blocking_stats(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "CartesianProduct" not in plan, plan
+    # exactly the THREE 1-row x 1-row metric-assembly crossJoins may
+    # plan as nested-loop joins; a fourth would be a pair-enumeration
+    # join degrading to the quadratic path
+    assert plan.count("BroadcastNestedLoopJoin") == 3, plan
