@@ -1145,6 +1145,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  for r in train_bpe(d, n_merges=6).collect()]
         return bpe_encode(d, rules)
 
+    def bpe_fertility_q(spark, sf):
+        # r06: per-language tokenizer fertility (tokens/word,
+        # chars/token) under the learned merges — the tokenizer-quality
+        # read that re-weights token-budgeted mixtures
+        from ner_extractor_spark.operators.bpe import (bpe_fertility,
+                                                       train_bpe)
+        d = _docs(spark, sf)
+        rules = [(r["left"], r["right"])
+                 for r in train_bpe(d, n_merges=6).collect()]
+        return bpe_fertility(d, rules)
+
     def text_hashed_embed(spark, sf):
         # text->vector bridge: feature-hashed L2-normalized doc
         # embeddings.  CONTRACT SHAPE (VERDICT r04 #1): the operator
@@ -1846,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed this round --------------------------------
         "kg_export_ntriples": kg_export_ntriples,                # r06
         "dedup_blocking_stats": dedup_blocking_stats,            # r06
+        "bpe_fertility": bpe_fertility_q,                        # r06
         "kg_transe": kg_transe,                                  # r06
         "kg_transe_eval": kg_transe_eval,                        # r06
         "kg_link_predict": kg_link_predict,                      # r06
@@ -5743,6 +5755,28 @@ canonnd AS (SELECT node, min(comp) AS nd_keeper FROM reachnd
             .replace(case_old, case_new, 1)
             .replace(join_old, join_new, 1))
     d["corpus_curation_neardup"] = body + tailc
+
+    # bpe_fertility: per-language aggregate over the bpe_encode
+    # replica (nested WITH in a derived table)
+    d["bpe_fertility"] = f"""
+WITH encq AS (
+  FROM ({_bpe_encode_oracle_sql(6)})
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_words,
+         sum(len(string_split(encoded, ' '))) AS n_tokens,
+         sum(length(word)) AS n_chars
+  FROM encq GROUP BY doc_id
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words), 6)
+         AS fertility,
+       round(CAST(sum(p.n_chars) AS DOUBLE) / sum(p.n_tokens), 6)
+         AS chars_per_token
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
 
     # kg_export_ntriples: RDF N-Triples serialization of the triple
     # table (sources/ntriples.py) — slug/ECHAR-escape/bucket replicated

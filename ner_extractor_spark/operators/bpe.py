@@ -175,3 +175,44 @@ def encode_word(word: str, rules: list[tuple[str, str]]) -> list[str]:
                 out.append(s)
         syms = out
     return syms
+
+
+def bpe_fertility(docs: DataFrame, rules: list[tuple[str, str]],
+                  id_col: str = "doc_id", text_col: str = "text",
+                  lang_col: str = "lang",
+                  vocab_join: str = "broadcast") -> DataFrame:
+    """Per-language tokenizer fertility profile: how many BPE tokens
+    the learned merges spend per word and how many characters each
+    token carries, by language.  THE tokenizer-quality read before
+    fixing a pretraining mixture — a language with outsized fertility
+    is under-merged (its bytes cost disproportionate sequence length),
+    which silently re-weights any token-budgeted mixture against it.
+
+    Returns one row per language: (lang, n_docs, n_words, n_tokens,
+    fertility = tokens/word, chars_per_token).
+
+    Scale shape: ``bpe_encode``'s corpus pass (vocab folds over the
+    distinct-word table + one broadcast/shuffle vocab join) feeds a
+    doc-keyed partial aggregate, which then joins the corpus table
+    only at per-doc grain for the language key and collapses to
+    ≤ n_languages rows — both aggregates map-side combined; nothing
+    wider than the corpus token table is ever materialized.
+    """
+    enc = bpe_encode(docs, rules, id_col=id_col, text_col=text_col,
+                     vocab_join=vocab_join)
+    perdoc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size(F.split(F.col("encoded"), " "))).alias("n_tokens"),
+        F.sum(F.length(F.col("word"))).alias("n_chars"))
+    return (perdoc
+            .join(docs.select(F.col(id_col).alias("doc_id"),
+                              F.col(lang_col).alias("lang")),
+                  on="doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").alias("n_words"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.round(F.sum("n_tokens") / F.sum("n_words"), 6)
+                 .alias("fertility"),
+                 F.round(F.sum("n_chars") / F.sum("n_tokens"), 6)
+                 .alias("chars_per_token")))

@@ -133,3 +133,26 @@ def test_bpe_encode_fused_chunks_match_per_rule_barriers(spark):
     per_rule = sorted(map(tuple, bpe_encode(d, rules, fuse=1).collect()))
     split = sorted(map(tuple, bpe_encode(d, rules, fuse=2).collect()))
     assert full == per_rule == split
+
+
+def test_bpe_fertility(spark):
+    """With zero merges every word costs len(word)+1 symbols (chars +
+    '</w>'), so the per-language identities are hand-computable; a
+    merge rule can only lower fertility."""
+    from ner_extractor_spark.operators.bpe import bpe_fertility
+
+    d = spark.createDataFrame(
+        [(1, "ab ab cd", "en"), (2, "abcd", "de")],
+        "doc_id int, text string, lang string")
+    out = {r["lang"]: r.asDict() for r in bpe_fertility(d, []).collect()}
+    # en: 3 words, 6 chars, 6 + 3 = 9 tokens
+    assert out["en"]["n_words"] == 3 and out["en"]["n_tokens"] == 9
+    assert out["en"]["fertility"] == 3.0
+    assert out["en"]["chars_per_token"] == round(6 / 9, 6)
+    # de: 1 word, 4 chars, 5 tokens
+    assert out["de"]["n_tokens"] == 5 and out["de"]["fertility"] == 5.0
+    # one merge (a,b) collapses every 'ab' pair: en 9 -> 7 tokens,
+    # de 'abcd' -> [ab, c, d, </w>] = 4
+    merged = {r["lang"]: r["n_tokens"]
+              for r in bpe_fertility(d, [("a", "b")]).collect()}
+    assert merged["en"] == 7 and merged["de"] == 4
