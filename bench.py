@@ -96,6 +96,7 @@ HEADLINE = [
     "kg_entity_cards",           # r06: per-entity fact-card payload
     "kg_export_ntriples",        # r06: RDF N-Triples serialization
     "dedup_blocking_stats",      # r06: LSH blocking-quality audit
+    "bpe_fertility",             # r06: per-language tokenizer fertility
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
