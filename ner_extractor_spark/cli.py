@@ -82,6 +82,10 @@ def main(argv=None):
                     help="mine AMIE-style rules over the canonical "
                          "triples and back-fill rule-inferred facts "
                          "(<workdir>/rules, <workdir>/inferred)")
+    kg.add_argument("--export-nt", dest="export_nt", action="store_true",
+                    help="also materialize the canonical triples as an "
+                         "RDF N-Triples dump (<workdir>/ntriples, "
+                         "partitioned text; sources/ntriples.py)")
 
     cu = sub.add_parser("curate",
                         help="run the corpus-curation keep/drop verdict")
@@ -241,6 +245,15 @@ def main(argv=None):
         inferred.write.mode("overwrite").parquet(f"{workdir}/inferred")
         out["rules"] = rules.count()
         out["inferred"] = spark.read.parquet(f"{workdir}/inferred").count()
+    if getattr(args, "export_nt", False):
+        # canonical Q-id triples -> fact statements only (no label
+        # columns post-linking; see sources/ntriples.to_ntriples)
+        from ner_extractor_spark.sources.ntriples import (to_ntriples,
+                                                          write_ntriples)
+        nt = to_ntriples(res.triples, subj_col="subj", obj_col="obj")
+        write_ntriples(nt, f"{workdir}/ntriples")
+        out["nt_statements"] = (spark.read.text(f"{workdir}/ntriples")
+                                .count())
     print(json.dumps(out))
     spark.stop()
 

@@ -69,34 +69,48 @@ def _stmt(s: Column, p: Column, o: Column) -> Column:
 
 
 def to_ntriples(triples: DataFrame, base: str = DEFAULT_BASE,
-                n_buckets: int = 64) -> DataFrame:
-    """triples (extract_triples schema: subj_surface, subj_label,
-    pred, obj_surface, obj_label, ...) -> N-Triples lines.
+                n_buckets: int = 64, subj_col: str = "subj_surface",
+                pred_col: str = "pred", obj_col: str = "obj_surface",
+                subj_label_col: str = "subj_label",
+                obj_label_col: str = "obj_label") -> DataFrame:
+    """triples (extract_triples schema by default) -> N-Triples lines.
 
     Returns (kind, part, line): kind in ('fact', 'type', 'label'),
     part = md5 bucket of the statement's subject slug (the
     partitioned-write key — co-locates every statement about an
     entity in one output partition), line = the serialized statement.
     Distinct facts / entity-label pairs / entities each emit once.
+
+    When the label columns are absent from ``triples`` (e.g. the
+    CANONICAL post-linking table, whose subj/obj are Q-ids with no
+    NER label attached), only fact statements are emitted — a Q-id
+    slugs to itself, so the label inverse would be vacuous.
     """
     ent = lambda slug: F.concat(F.lit(f"<{base}e/"), slug, F.lit(">"))
     prd = lambda p: F.concat(F.lit(f"<{base}p/"), p, F.lit(">"))
     cls = lambda l: F.concat(F.lit(f"<{base}c/"), l, F.lit(">"))
-    subj_slug = iri_slug(F.col("subj_surface"))
+    subj_slug = iri_slug(F.col(subj_col))
 
     facts = (triples
-             .select(subj_slug.alias("sslug"), F.col("pred"),
-                     iri_slug(F.col("obj_surface")).alias("oslug"))
+             .select(subj_slug.alias("sslug"), F.col(pred_col).alias("pred"),
+                     iri_slug(F.col(obj_col)).alias("oslug"))
              .distinct()
              .select(F.lit("fact").alias("kind"), F.col("sslug"),
                      _stmt(ent(F.col("sslug")), prd(F.col("pred")),
                            ent(F.col("oslug"))).alias("line")))
 
-    mentions = (triples.select(F.col("subj_surface").alias("surface"),
-                               F.col("subj_label").alias("label"))
+    bucket = F.pmod(F.conv(F.substring(F.md5(F.col("sslug")), 1, 4),
+                           16, 10).cast("long"),
+                    F.lit(n_buckets)).cast("int")
+    if (subj_label_col not in triples.columns
+            or obj_label_col not in triples.columns):
+        return facts.select("kind", bucket.alias("part"), "line")
+
+    mentions = (triples.select(F.col(subj_col).alias("surface"),
+                               F.col(subj_label_col).alias("label"))
                 .unionByName(triples.select(
-                    F.col("obj_surface").alias("surface"),
-                    F.col("obj_label").alias("label"))))
+                    F.col(obj_col).alias("surface"),
+                    F.col(obj_label_col).alias("label"))))
     slugged = mentions.select(iri_slug(F.col("surface")).alias("sslug"),
                               "surface", "label")
 
@@ -115,11 +129,9 @@ def to_ntriples(triples: DataFrame, base: str = DEFAULT_BASE,
                                      F.lit('"'))).alias("line")))
 
     out = facts.unionByName(types).unionByName(labels)
-    # md5-prefix bucket (the packing.py idiom) — engine-portable, so
-    # the DuckDB oracle replicates the partition key bit-exactly
-    bucket = F.pmod(F.conv(F.substring(F.md5(F.col("sslug")), 1, 4),
-                           16, 10).cast("long"),
-                    F.lit(n_buckets)).cast("int")
+    # bucket is the md5-prefix fold (the packing.py idiom) —
+    # engine-portable, so the DuckDB oracle replicates the partition
+    # key bit-exactly
     return out.select("kind", bucket.alias("part"), "line")
 
 

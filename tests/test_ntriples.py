@@ -67,3 +67,17 @@ def test_write_ntriples_roundtrip(spark, tmp_path):
     # partition directories carry the bucket key
     import os
     assert any(d.startswith("part=") for d in os.listdir(path))
+
+
+def test_to_ntriples_canonical_facts_only(spark):
+    """Post-linking Q-id triples (no label columns) export fact
+    statements only — a Q-id slugs to itself modulo case/dash."""
+    canon = spark.createDataFrame(
+        [("Q-00008", "founded", "Q-00002"),
+         ("Q-00008", "founded", "Q-00002")],
+        "subj string, pred string, obj string")
+    out = to_ntriples(canon, subj_col="subj", obj_col="obj").collect()
+    assert [r["kind"] for r in out] == ["fact"]
+    assert out[0]["line"] == ("<http://kg.invalid/e/q_00008> "
+                              "<http://kg.invalid/p/founded> "
+                              "<http://kg.invalid/e/q_00002> .")
