@@ -1156,6 +1156,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  for r in train_bpe(d, n_merges=6).collect()]
         return bpe_fertility(d, rules)
 
+    def profile_documents(spark, sf):
+        # r06: Deequ-shape ingest profile of the documents table —
+        # null rates / cardinality / bounds / width per column in ONE
+        # aggregate pass (exact mode for oracle parity; approx=True is
+        # the at-scale default, HLL++ instead of the n-column Expand)
+        from ner_extractor_spark.operators.profile import profile_columns
+        return profile_columns(_docs(spark, sf))
+
     def text_hashed_embed(spark, sf):
         # text->vector bridge: feature-hashed L2-normalized doc
         # embeddings.  CONTRACT SHAPE (VERDICT r04 #1): the operator
@@ -1858,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_export_ntriples": kg_export_ntriples,                # r06
         "dedup_blocking_stats": dedup_blocking_stats,            # r06
         "bpe_fertility": bpe_fertility_q,                        # r06
+        "profile_documents": profile_documents,                  # r06
         "kg_transe": kg_transe,                                  # r06
         "kg_transe_eval": kg_transe_eval,                        # r06
         "kg_link_predict": kg_link_predict,                      # r06
@@ -5755,6 +5764,18 @@ canonnd AS (SELECT node, min(comp) AS nd_keeper FROM reachnd
             .replace(case_old, case_new, 1)
             .replace(join_old, join_new, 1))
     d["corpus_curation_neardup"] = body + tailc
+
+    # profile_documents: one UNION ALL branch per documents column,
+    # each the exact-mode statistic set of operators/profile.py
+    d["profile_documents"] = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_str,
+       max(CAST({c} AS VARCHAR)) AS max_str,
+       round(avg(length(CAST({c} AS VARCHAR))), 6) AS avg_len
+FROM documents"""
+        for c in ("doc_id", "text", "lang", "source", "n_chars"))
 
     # bpe_fertility: per-language aggregate over the bpe_encode
     # replica (nested WITH in a derived table)
