@@ -1230,6 +1230,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             chunk_documents as _chunk
         return _chunk(_docs(spark, sf), chunk_size=64, stride=48)
 
+    def export_training_jsonl(spark, sf):
+        # r06: the trainer-facing artifact — chunked corpus as
+        # byte-deterministic JSON Lines (fixed field order, RFC 8259
+        # escape chain, md5 doc bucket); flat map over chunks, no
+        # Python stage (sources/jsonl.py)
+        from ner_extractor_spark.operators.packing import \
+            chunk_documents as _chunk
+        from ner_extractor_spark.sources.jsonl import to_training_jsonl
+        return to_training_jsonl(_chunk(_docs(spark, sf),
+                                        chunk_size=64, stride=48))
+
     def corpus_training_pipeline(spark, sf):
         # the FULL training-data flow in one plan (the FineWeb-style
         # composition this engine exists for): url gates + calibrated
@@ -1867,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_blocking_stats": dedup_blocking_stats,            # r06
         "bpe_fertility": bpe_fertility_q,                        # r06
         "profile_documents": profile_documents,                  # r06
+        "export_training_jsonl": export_training_jsonl,          # r06
         "kg_transe": kg_transe,                                  # r06
         "kg_transe_eval": kg_transe_eval,                        # r06
         "kg_link_predict": kg_link_predict,                      # r06
@@ -5764,6 +5776,25 @@ canonnd AS (SELECT node, min(comp) AS nd_keeper FROM reachnd
             .replace(case_old, case_new, 1)
             .replace(join_old, join_new, 1))
     d["corpus_curation_neardup"] = body + tailc
+
+    # export_training_jsonl: the chunk replica wrapped in a derived
+    # table; the line is the same fixed-order concat + RFC 8259
+    # replace-chain as sources/jsonl.py, bucket is the md5-prefix fold
+    _jesc = ("replace(replace(replace(replace(replace(chunk_text, "
+             "chr(92), chr(92)||chr(92)), '\"', chr(92)||'\"'), "
+             "chr(10), chr(92)||'n'), chr(13), chr(92)||'r'), "
+             "chr(9), chr(92)||'t')")
+    d["export_training_jsonl"] = f"""
+WITH chunksq AS (
+  FROM ({d["chunk_documents"]})
+)
+SELECT CAST({_hex4_fold_sql("md5(CAST(doc_id AS VARCHAR))")} % 64 AS INT)
+         AS part,
+       '{{"id":"' || CAST(doc_id AS VARCHAR) || '-'
+         || CAST(chunk_id AS VARCHAR)
+         || '","n_tokens":' || CAST(n_tokens AS VARCHAR)
+         || ',"text":"' || {_jesc} || '"}}' AS line
+FROM chunksq"""
 
     # profile_documents: one UNION ALL branch per documents column,
     # each the exact-mode statistic set of operators/profile.py

@@ -97,6 +97,7 @@ HEADLINE = [
     "kg_export_ntriples",        # r06: RDF N-Triples serialization
     "dedup_blocking_stats",      # r06: LSH blocking-quality audit
     "bpe_fertility",             # r06: per-language tokenizer fertility
+    "profile_documents",         # r06: one-pass ingest column profile
 ]
 
 N_RUNS = 3          # interleaved passes per headline query
