@@ -114,6 +114,11 @@ def main(argv=None):
                      help="add the MinHash near-duplicate rule")
     asm.add_argument("--blocked-domain", action="append", default=[])
     asm.add_argument("--blocked-term", action="append", default=[])
+    asm.add_argument("--export-jsonl", dest="export_jsonl",
+                     action="store_true",
+                     help="also materialize the chunked corpus as "
+                          "trainer-facing JSON Lines "
+                          "(<workdir>/jsonl; sources/jsonl.py)")
     args = p.parse_args(argv)
 
     if args.cmd == "assemble":
@@ -130,13 +135,31 @@ def main(argv=None):
             blocked_terms=tuple(args.blocked_term),
             span_dedup=not args.no_span_dedup, near=args.near,
             chunk_size=args.chunk_size, budget=args.budget)
-        print(json.dumps({
+        out = {
             "docs": res.verdict.count(),
             "kept": res.verdict.filter("keep").count(),
             "chunks": res.chunks.count(),
             "bins": res.packed.select("bucket", "bin").distinct().count(),
             "workdir": args.workdir,
-        }))
+        }
+        if args.export_jsonl:
+            from pyspark.sql import functions as F
+
+            from ner_extractor_spark.functions.text import token_count
+            from ner_extractor_spark.sources.jsonl import (
+                to_training_jsonl, write_training_jsonl)
+            # the staged chunks table carries (chunk_uid 'doc#chunk',
+            # chunk_text) — re-derive the sink's id parts + token count
+            ch = res.chunks.select(
+                F.split("chunk_uid", "#")[0].alias("doc_id"),
+                F.split("chunk_uid", "#")[1].alias("chunk_id"),
+                token_count(F.col("chunk_text")).alias("n_tokens"),
+                "chunk_text")
+            write_training_jsonl(to_training_jsonl(ch),
+                                 f"{args.workdir}/jsonl")
+            out["jsonl_lines"] = (spark.read.text(f"{args.workdir}/jsonl")
+                                  .count())
+        print(json.dumps(out))
         spark.stop()
         return
 
