@@ -3663,7 +3663,8 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
        round(CAST(n_caught AS DOUBLE) / greatest(n_candidates, 1), 6)
          AS pairs_quality,
        round(1.0 - CAST(n_candidates AS DOUBLE)
-                   / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2), 6)
+                   / greatest(CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2,
+                              1.0), 6)
          AS reduction_ratio
 FROM nd, nc, nt, cg""",
 
@@ -5780,10 +5781,12 @@ canonnd AS (SELECT node, min(comp) AS nd_keeper FROM reachnd
     # export_training_jsonl: the chunk replica wrapped in a derived
     # table; the line is the same fixed-order concat + RFC 8259
     # replace-chain as sources/jsonl.py, bucket is the md5-prefix fold
-    _jesc = ("replace(replace(replace(replace(replace(chunk_text, "
+    _jesc = ("regexp_replace("
+             "replace(replace(replace(replace(replace(chunk_text, "
              "chr(92), chr(92)||chr(92)), '\"', chr(92)||'\"'), "
              "chr(10), chr(92)||'n'), chr(13), chr(92)||'r'), "
-             "chr(9), chr(92)||'t')")
+             "chr(9), chr(92)||'t'), "
+             r"'[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')")
     d["export_training_jsonl"] = f"""
 WITH chunksq AS (
   FROM ({d["chunk_documents"]})
@@ -5821,21 +5824,22 @@ perdoc AS (
   FROM encq GROUP BY doc_id
 )
 SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(p.n_words) AS BIGINT) AS n_words,
-       CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(p.n_words), 0) AS BIGINT) AS n_words,
+       CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS n_tokens,
        round(CAST(sum(p.n_tokens) AS DOUBLE) / sum(p.n_words), 6)
          AS fertility,
        round(CAST(sum(p.n_chars) AS DOUBLE) / sum(p.n_tokens), 6)
          AS chars_per_token
-FROM perdoc p JOIN documents d USING (doc_id)
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
 GROUP BY d.lang"""
 
     # kg_export_ntriples: RDF N-Triples serialization of the triple
     # table (sources/ntriples.py) — slug/ECHAR-escape/bucket replicated
     # as portable string algebra
     def _slug(e: str) -> str:
-        return ("regexp_replace(regexp_replace(lower(" + e +
-                "), '[^a-z0-9]+', '_', 'g'), '^_+|_+$', '', 'g')")
+        s = ("regexp_replace(regexp_replace(lower(" + e +
+             "), '[^a-z0-9]+', '_', 'g'), '^_+|_+$', '', 'g')")
+        return f"(CASE WHEN {s} = '' THEN '_' ELSE {s} END)"
 
     _esc = ("replace(replace(replace(replace(replace(surface, "
             "chr(92), chr(92)||chr(92)), '\"', chr(92)||'\"'), "
@@ -5853,7 +5857,8 @@ slugged AS (
   SELECT {_slug('surface')} AS sslug, surface, label FROM ents
 ),
 fl AS (
-  SELECT DISTINCT {_slug('subj_surface')} AS sslug, pred,
+  SELECT DISTINCT {_slug('subj_surface')} AS sslug,
+         {_slug('pred')} AS pred,
          {_slug('obj_surface')} AS oslug
   FROM tri
 ),

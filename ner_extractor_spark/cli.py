@@ -149,10 +149,14 @@ def main(argv=None):
             from ner_extractor_spark.sources.jsonl import (
                 to_training_jsonl, write_training_jsonl)
             # the staged chunks table carries (chunk_uid 'doc#chunk',
-            # chunk_text) — re-derive the sink's id parts + token count
+            # chunk_text) — re-derive the sink's id parts + token
+            # count.  Split from the RIGHT: the chunk index is always
+            # the last '#' segment, while a user-supplied doc_id may
+            # itself contain '#'
             ch = res.chunks.select(
-                F.split("chunk_uid", "#")[0].alias("doc_id"),
-                F.split("chunk_uid", "#")[1].alias("chunk_id"),
+                F.regexp_replace("chunk_uid", "#[^#]*$", "")
+                .alias("doc_id"),
+                F.substring_index("chunk_uid", "#", -1).alias("chunk_id"),
                 token_count(F.col("chunk_text")).alias("n_tokens"),
                 "chunk_text")
             write_training_jsonl(to_training_jsonl(ch),

@@ -204,14 +204,19 @@ def bpe_fertility(docs: DataFrame, rules: list[tuple[str, str]],
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.size(F.split(F.col("encoded"), " "))).alias("n_tokens"),
         F.sum(F.length(F.col("word"))).alias("n_chars"))
-    return (perdoc
-            .join(docs.select(F.col(id_col).alias("doc_id"),
-                              F.col(lang_col).alias("lang")),
-                  on="doc_id")
+    # LEFT join from the corpus side: empty/whitespace-only documents
+    # emit no encode rows but still count toward n_docs (a language
+    # whose docs are all empty surfaces as a degenerate row — null
+    # fertility — instead of vanishing from the profile)
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(lang_col).alias("lang"))
+            .join(perdoc, on="doc_id", how="left")
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_words").alias("n_words"),
-                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum(F.coalesce(F.col("n_words"), F.lit(0)))
+                 .alias("n_words"),
+                 F.sum(F.coalesce(F.col("n_tokens"), F.lit(0)))
+                 .alias("n_tokens"),
                  F.round(F.sum("n_tokens") / F.sum("n_words"), 6)
                  .alias("fertility"),
                  F.round(F.sum("n_chars") / F.sum("n_tokens"), 6)

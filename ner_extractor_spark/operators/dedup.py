@@ -550,15 +550,27 @@ def blocking_stats(docs: DataFrame, id_col: str = "doc_id",
     docs), never the full corpus; the metrics are unbiased under
     uniform doc sampling of the slice.  All four counts are 1-row
     aggregates crossJoined at the end (broadcast, driver never
-    collects intermediate pairs).
+    collects intermediate pairs).  Candidates and truth share ONE
+    exploded (id, shingle) pass (``minhash_lsh_pairs(shingles=)``) —
+    which also guarantees both sides measure the SAME ``shingle_n``
+    similarity, so the completeness/quality numbers audit the
+    blocking against its own metric.
     """
-    cand = (minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
-                              n_hashes=n_hashes, band_size=band_size)
-            .localCheckpoint())  # consumed twice: count + caught join
-    sh = (docs.select(F.col(id_col).alias("id"),
+    if not threshold > 0:
+        # jaccard >= 0 holds for every pair, including the non-
+        # overlapping ones the shingle-equijoin never enumerates —
+        # the truth set would silently understate
+        raise ValueError("threshold must be > 0")
+    sh = (docs.select(F.col(id_col),
                       F.explode(word_shingles(F.col(text_col), shingle_n))
                       .alias("shingle"))
-          .localCheckpoint())  # consumed thrice: sizes + both join sides
+          .localCheckpoint())  # shared: LSH signature + sizes + both
+    #                            truth join sides
+    cand = (minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
+                              n_hashes=n_hashes, band_size=band_size,
+                              shingles=sh)
+            .localCheckpoint())  # consumed twice: count + caught join
+    sh = sh.select(F.col(id_col).alias("id"), "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
     # any pair with jaccard > 0 shares >= 1 shingle, so the
     # shingle-equijoin enumeration of the truth set is exact for any
@@ -583,7 +595,11 @@ def blocking_stats(docs: DataFrame, id_col: str = "doc_id",
     nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     cg = (truth.join(cand, on=["a", "b"])
           .agg(F.count(F.lit(1)).alias("n_caught")))
-    all_pairs = F.col("n_docs") * (F.col("n_docs") - 1) / 2
+    # greatest(..., 1) mirrors the completeness/quality guards: a 0-
+    # or 1-doc slice reads reduction_ratio 1.0 instead of null (or a
+    # DIVIDE_BY_ZERO under ANSI mode)
+    all_pairs = F.greatest(F.col("n_docs") * (F.col("n_docs") - 1) / 2,
+                           F.lit(1.0))
     return (nd.crossJoin(nc).crossJoin(nt).crossJoin(cg)
             .select("n_docs", "n_candidates", "n_true_pairs", "n_caught",
                     F.round(F.col("n_caught")

@@ -24,16 +24,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ner_extractor_spark.sources.ntriples import (escape_literal,
+                                                  write_partitioned_lines)
+
 
 def escape_json(col: Column) -> Column:
-    """RFC 8259 string escaping for the characters the corpus can
-    carry: backslash (first — later escapes introduce backslashes),
-    quote, LF, CR, TAB."""
-    s = F.replace(col, F.lit("\\"), F.lit("\\\\"))
-    s = F.replace(s, F.lit('"'), F.lit('\\"'))
-    s = F.replace(s, F.lit("\n"), F.lit("\\n"))
-    s = F.replace(s, F.lit("\r"), F.lit("\\r"))
-    return F.replace(s, F.lit("\t"), F.lit("\\t"))
+    """RFC 8259 string escaping: the shared five-step replace chain
+    (backslash first, then quote, LF, CR, TAB — byte-identical to the
+    N-Triples ECHAR set, one implementation in sources/ntriples.py),
+    then the REMAINING C0 control characters are STRIPPED — RFC 8259
+    §7 forbids them raw, `normalize_text` upstream only collapses
+    whitespace-class ones, and a control byte inside training text is
+    corruption, not content (so dropping beats a lossless \\u escape
+    that would feed it to the trainer)."""
+    return F.regexp_replace(escape_literal(col),
+                            "[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
 
 
 def to_training_jsonl(chunks: DataFrame, n_buckets: int = 64,
@@ -60,6 +65,6 @@ def to_training_jsonl(chunks: DataFrame, n_buckets: int = 64,
 
 def write_training_jsonl(lines: DataFrame, path: str) -> None:
     """Materialize the export partitioned by bucket (plain-text
-    ``.jsonl`` shards — the line IS the record)."""
-    (lines.select("part", "line").write.partitionBy("part")
-     .mode("overwrite").text(path))
+    ``.jsonl`` shards — the line IS the record; shared writer in
+    sources/ntriples.py)."""
+    write_partitioned_lines(lines, path)

@@ -47,10 +47,13 @@ DEFAULT_BASE = "http://kg.invalid/"
 
 def iri_slug(col: Column) -> Column:
     """Deterministic IRI local name for a surface form: lowercase,
-    non-alphanumeric runs collapsed to ``_``, trimmed of edge ``_``.
-    Lossy by design — ``rdfs:label`` lines carry the exact surface."""
+    non-alphanumeric runs collapsed to ``_``, trimmed of edge ``_``;
+    an all-punctuation surface falls back to ``_`` so the IRIREF is
+    never empty (grammar-valid, and the ``rdfs:label`` lines keep the
+    colliding spellings distinguishable).  Lossy by design."""
     s = F.regexp_replace(F.lower(col), "[^a-z0-9]+", "_")
-    return F.regexp_replace(s, "^_+|_+$", "")
+    s = F.regexp_replace(s, "^_+|_+$", "")
+    return F.when(s == "", F.lit("_")).otherwise(s)
 
 
 def escape_literal(col: Column) -> Column:
@@ -91,8 +94,12 @@ def to_ntriples(triples: DataFrame, base: str = DEFAULT_BASE,
     cls = lambda l: F.concat(F.lit(f"<{base}c/"), l, F.lit(">"))
     subj_slug = iri_slug(F.col(subj_col))
 
+    # the predicate is slugged too: a raw pred containing a space or
+    # '>' would violate the IRIREF grammar (reference preds are plain
+    # lowercase tokens, for which the slug is the identity)
     facts = (triples
-             .select(subj_slug.alias("sslug"), F.col(pred_col).alias("pred"),
+             .select(subj_slug.alias("sslug"),
+                     iri_slug(F.col(pred_col)).alias("pred"),
                      iri_slug(F.col(obj_col)).alias("oslug"))
              .distinct()
              .select(F.lit("fact").alias("kind"), F.col("sslug"),
@@ -135,9 +142,16 @@ def to_ntriples(triples: DataFrame, base: str = DEFAULT_BASE,
     return out.select("kind", bucket.alias("part"), "line")
 
 
-def write_ntriples(lines: DataFrame, path: str) -> None:
-    """Materialize the export partitioned by bucket: one directory per
-    ``part``, plain-text ``.nt`` shards inside.  Text sink — the line
-    IS the record."""
+def write_partitioned_lines(lines: DataFrame, path: str) -> None:
+    """Shared line-sink: materialize a (part, line) frame partitioned
+    by bucket — one directory per ``part``, plain-text shards inside.
+    Text sink — the line IS the record.  Used by this module's
+    N-Triples export and by ``sources/jsonl.py`` (one writer, so the
+    two sinks cannot drift)."""
     (lines.select("part", "line").write.partitionBy("part")
      .mode("overwrite").text(path))
+
+
+def write_ntriples(lines: DataFrame, path: str) -> None:
+    """Materialize the export partitioned by bucket (``.nt`` shards)."""
+    write_partitioned_lines(lines, path)

@@ -156,3 +156,18 @@ def test_bpe_fertility(spark):
     merged = {r["lang"]: r["n_tokens"]
               for r in bpe_fertility(d, [("a", "b")]).collect()}
     assert merged["en"] == 7 and merged["de"] == 4
+
+
+def test_bpe_fertility_counts_empty_docs(spark):
+    """Empty docs emit no encode rows but still count toward n_docs;
+    a fully-empty language surfaces as a degenerate row (null
+    fertility), not a missing one."""
+    from ner_extractor_spark.operators.bpe import bpe_fertility
+
+    d = spark.createDataFrame(
+        [(1, "ab ab", "en"), (2, "", "en"), (3, "   ", "zz")],
+        "doc_id int, text string, lang string")
+    out = {r["lang"]: r.asDict() for r in bpe_fertility(d, []).collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["n_words"] == 2
+    assert out["zz"]["n_docs"] == 1 and out["zz"]["n_tokens"] == 0
+    assert out["zz"]["fertility"] is None

@@ -358,3 +358,11 @@ def test_blocking_stats(spark):
     assert 0.0 <= m["reduction_ratio"] <= 1.0
     # reduction ratio is exactly 1 - candidates / C(5,2)
     assert m["reduction_ratio"] == round(1.0 - m["n_candidates"] / 10.0, 6)
+
+
+def test_blocking_stats_rejects_nonpositive_threshold(spark):
+    import pytest
+
+    from ner_extractor_spark.operators.dedup import blocking_stats
+    with pytest.raises(ValueError):
+        blocking_stats(_docs(spark), threshold=0.0)

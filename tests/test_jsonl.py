@@ -54,3 +54,11 @@ def test_write_roundtrip(spark, tmp_path):
     back = spark.read.text(path)
     assert back.count() == 3
     assert all(json.loads(r["value"]) for r in back.collect())
+
+
+def test_escape_json_strips_remaining_c0_controls(spark):
+    row = (spark.range(1)
+           .select(escape_json(F.lit("a\x01b\x08c\td")).alias("s"))
+           .first())
+    assert row["s"] == "abc\\td"
+    assert json.loads('"%s"' % row["s"]) == "abc\td"

@@ -81,3 +81,17 @@ def test_to_ntriples_canonical_facts_only(spark):
     assert out[0]["line"] == ("<http://kg.invalid/e/q_00008> "
                               "<http://kg.invalid/p/founded> "
                               "<http://kg.invalid/e/q_00002> .")
+
+
+def test_iri_slug_empty_fallback_and_pred_slugging(spark):
+    rows = (spark.createDataFrame([("???",), ("ok",)], "s string")
+            .select(iri_slug(F.col("s")).alias("g")).collect())
+    assert [r["g"] for r in rows] == ["_", "ok"]
+    t = spark.createDataFrame(
+        [("A", "ORG", "has part", "B", "ORG")],
+        "subj_surface string, subj_label string, pred string, "
+        "obj_surface string, obj_label string")
+    fact = [r["line"] for r in to_ntriples(t).collect()
+            if r["kind"] == "fact"][0]
+    # a space in the pred would violate the IRIREF grammar — slugged
+    assert "<http://kg.invalid/p/has_part>" in fact
