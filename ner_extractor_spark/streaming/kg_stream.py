@@ -74,7 +74,8 @@ def run_kg_stream(pages_stream: DataFrame, dictionary: dict,
 def run_kg_delta_stream(pages_stream: DataFrame, dictionary: dict,
                         out_dir: str, checkpoint: str,
                         lang: str | None = "en", predicates=None,
-                        use_html: bool = False) -> None:
+                        use_html: bool = False,
+                        export_nt: bool = False) -> None:
     """NOVEL-FACT delta stream — the incremental twin of
     ``kg_quality.snapshot_diff``: each micro-batch emits only the
     distinct (subj, pred, obj) facts the accumulated KG has NOT seen
@@ -87,7 +88,14 @@ def run_kg_delta_stream(pages_stream: DataFrame, dictionary: dict,
     replayed epoch never sees its own half-written partition — and the
     per-batch ``mode('overwrite')`` absorbs the rewrite.  State grows
     as the distinct-fact table, the same asymptotic state the batch KG
-    itself carries; the anti-join keys on the triple identity."""
+    itself carries; the anti-join keys on the triple identity.
+
+    ``export_nt=True`` additionally serializes each increment as RDF
+    N-Triples fact statements under ``out_dir/ntriples/batch_id=N``
+    (sources/ntriples.py, facts-only mode) — the union of the batch
+    dumps IS the cumulative KG's dump, because fact lines are 1:1
+    with distinct facts and each fact is emitted by exactly the batch
+    that first sees it (parity pinned in tests/test_kg_stream.py)."""
     import os
 
     from ..operators.extract import extract_sentences
@@ -112,8 +120,18 @@ def run_kg_delta_stream(pages_stream: DataFrame, dictionary: dict,
                      .select("subj", "pred", "obj"))
             facts = facts.join(prior, on=["subj", "pred", "obj"],
                                how="left_anti")
+        if export_nt:
+            # the novel facts feed BOTH sinks — materialize once so
+            # the tag->extract pipeline doesn't run twice per batch
+            facts = facts.localCheckpoint()
         (facts.write.mode("overwrite")
          .parquet(f"{facts_dir}/batch_id={batch_id}"))
+        if export_nt:
+            from ..sources.ntriples import (to_ntriples,
+                                            write_partitioned_lines)
+            write_partitioned_lines(
+                to_ntriples(facts, subj_col="subj", obj_col="obj"),
+                f"{out_dir}/ntriples/batch_id={batch_id}")
 
     q = (pages_stream.writeStream
          .foreachBatch(process_batch)

@@ -179,3 +179,39 @@ def test_kg_delta_stream_emits_only_novel_facts(spark, tmp_path):
     assert len(s2) == len(set(s2))          # still no duplicates
     if len(s2) > len(s):                    # novelty landed in a NEW batch
         assert after.select("batch_id").distinct().count() >= 2
+
+
+def test_kg_delta_stream_nt_export_unions_to_full_dump(spark, tmp_path):
+    """export_nt=True: the union of per-batch N-Triples dumps equals
+    the batch serialization of the cumulative distinct KG (fact lines
+    are 1:1 with distinct facts; each fact is emitted by the batch
+    that first sees it)."""
+    from ner_extractor_spark.sources.ntriples import to_ntriples
+    from ner_extractor_spark.streaming.kg_stream import run_kg_delta_stream
+
+    docs = synth.gold_corpus(40)
+    pages = spark.createDataFrame(synth.pages_rows(docs), schema=PAGES)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages.repartition(2).write.parquet(src)
+    gaz = synth.tagger_dictionary()
+
+    run_kg_delta_stream(read_pages_stream(spark, src), gaz, out, ckpt,
+                        lang=None, export_nt=True)
+    # second increment with new docs
+    bigger = synth.gold_corpus(48)
+    extra = spark.createDataFrame(synth.pages_rows(bigger[40:]),
+                                  schema=PAGES)
+    extra.repartition(1).write.mode("append").parquet(src)
+    run_kg_delta_stream(read_pages_stream(spark, src), gaz, out, ckpt,
+                        lang=None, export_nt=True)
+
+    streamed = sorted(
+        r["value"] for r in spark.read.text(f"{out}/ntriples").collect())
+    cumulative = (spark.read.parquet(f"{out}/facts")
+                  .select("subj", "pred", "obj"))
+    batch_lines = sorted(
+        r["line"] for r in
+        to_ntriples(cumulative, subj_col="subj", obj_col="obj").collect())
+    assert streamed == batch_lines and len(streamed) > 0
