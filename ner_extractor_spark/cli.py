@@ -119,7 +119,31 @@ def main(argv=None):
                      help="also materialize the chunked corpus as "
                           "trainer-facing JSON Lines "
                           "(<workdir>/jsonl; sources/jsonl.py)")
+    prof = sub.add_parser(
+        "profile",
+        help="one-pass Deequ-shape column profile of a parquet table "
+             "(null rate / cardinality / bounds / width per column)")
+    prof.add_argument("--table", required=True, help="parquet path")
+    prof.add_argument("--columns", action="append", default=[],
+                      help="restrict to these columns (repeatable)")
+    prof.add_argument("--exact", action="store_true",
+                      help="exact count(DISTINCT) instead of the "
+                           "at-scale HLL++ default")
     args = p.parse_args(argv)
+
+    if args.cmd == "profile":
+        from ner_extractor_spark.operators.profile import profile_columns
+        from ner_extractor_spark.session import get_spark
+        spark = get_spark(app_name="profile")
+        out = profile_columns(spark.read.parquet(args.table),
+                              cols=args.columns or None,
+                              approx=not args.exact)
+        print(json.dumps({r["col_name"]: {k: v for k, v in
+                                          r.asDict().items()
+                                          if k != "col_name"}
+                          for r in out.collect()}))
+        spark.stop()
+        return
 
     if args.cmd == "assemble":
         from ner_extractor_spark.operators.classifier import \
