@@ -317,3 +317,18 @@ def test_blocking_stats_joins_are_keyed(spark):
     # plan as nested-loop joins; a fourth would be a pair-enumeration
     # join degrading to the quadratic path
     assert plan.count("BroadcastNestedLoopJoin") == 3, plan
+
+
+def test_jsonl_export_is_a_pure_flat_map(spark):
+    """chunk -> JSONL serialization must stay one map stage: any
+    Exchange, Join, or Python-eval node means the trainer-facing
+    export stopped being scan-bounded."""
+    from ner_extractor_spark.operators.packing import chunk_documents
+    from ner_extractor_spark.sources.jsonl import to_training_jsonl
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z")], "doc_id long, text string")
+    plan = (to_training_jsonl(chunk_documents(docs, chunk_size=4,
+                                              stride=3))
+            ._jdf.queryExecution().executedPlan().toString())
+    for node in ("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, plan
