@@ -95,3 +95,31 @@ def test_iri_slug_empty_fallback_and_pred_slugging(spark):
             if r["kind"] == "fact"][0]
     # a space in the pred would violate the IRIREF grammar — slugged
     assert "<http://kg.invalid/p/has_part>" in fact
+
+
+def test_escape_literal_is_invertible(spark):
+    """Exhaustive inverse check over the escape alphabet: every 1- and
+    2-char string drawn from {a, backslash, quote, LF, CR, TAB}
+    unescapes back to itself (the ECHAR chain is lossless and
+    order-correct even for adjacent escapables)."""
+    chars = ['a', '\\', '"', '\n', '\r', '\t']
+    cases = chars + [x + y for x in chars for y in chars]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    rows = df.select("s", escape_literal(F.col("s")).alias("e")).collect()
+
+    def unescape(e):
+        out, i = [], 0
+        while i < len(e):
+            if e[i] == "\\":
+                out.append({"\\": "\\", '"': '"', "n": "\n", "r": "\r",
+                            "t": "\t"}[e[i + 1]])
+                i += 2
+            else:
+                out.append(e[i])
+                i += 1
+        return "".join(out)
+
+    for r in rows:
+        assert unescape(r["e"]) == r["s"], (r["s"], r["e"])
+        # and no raw escapable survives in the wire form
+        assert not any(c in r["e"] for c in ('\n', '\r', '\t'))
