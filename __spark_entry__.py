@@ -1839,6 +1839,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ner_extractor_spark.operators.dedup import blocking_stats
         return blocking_stats(_docs(spark, sf), threshold=0.5)
 
+    def dedup_blocking_curve(spark, sf):
+        # r06: the band-width tuning sweep behind dedup_blocking_stats
+        # — the same three blocking metrics at band widths 1/2/4, all
+        # from ONE shingle pass + ONE signature aggregation (the curve
+        # read before fixing band_size for a 100 TB dedup run)
+        from ner_extractor_spark.operators.dedup import blocking_curve
+        return blocking_curve(_docs(spark, sf), band_sizes=(1, 2, 4),
+                              threshold=0.5)
+
     def web_robots_filter(spark, sf):
         # r06: crawl-politeness gating — RFC 9309 longest-match rules
         # (broadcast per-host directive table; longer prefix wins, tie
@@ -1876,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / changed this round --------------------------------
         "kg_export_ntriples": kg_export_ntriples,                # r06
         "dedup_blocking_stats": dedup_blocking_stats,            # r06
+        "dedup_blocking_curve": dedup_blocking_curve,            # r06
         "bpe_fertility": bpe_fertility_q,                        # r06
         "profile_documents": profile_documents,                  # r06
         "export_training_jsonl": export_training_jsonl,          # r06
@@ -5810,6 +5820,71 @@ FROM chunksq"""
        round(avg(length(CAST({c} AS VARCHAR))), 6) AS avg_len
 FROM documents"""
         for c in ("doc_id", "text", "lang", "source", "n_chars"))
+
+    # dedup_blocking_curve: blocking_stats' metrics at band widths
+    # 1/2/4 from one mh signature CTE; truth CTEs shared across rows
+    _bs_truth = """
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS ninter
+  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes za ON za.doc_id = i.a
+  JOIN sizes zb ON zb.doc_id = i.b
+  WHERE CAST(i.ninter AS DOUBLE) / (za.nsh + zb.nsh - i.ninter) >= 0.5
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+nt AS (SELECT count(*) AS n_true_pairs FROM truth)"""
+
+    def _bs_row(b: int, n_hashes: int = 12) -> str:
+        return f"""
+bands{b} AS (
+  SELECT doc_id, CAST(floor(k / {b}.0) AS INT) AS band,
+         string_agg(h, '' ORDER BY h) AS bh
+  FROM mh GROUP BY doc_id, CAST(floor(k / {b}.0) AS INT)
+),
+mpairs{b} AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands{b} a JOIN bands{b} b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+nc{b} AS (SELECT count(*) AS n_candidates FROM mpairs{b}),
+cg{b} AS (
+  SELECT count(*) AS n_caught
+  FROM truth t JOIN mpairs{b} c ON c.a = t.a AND c.b = t.b
+),
+row{b} AS (
+  SELECT CAST({b} AS INT) AS band_size,
+         CAST({n_hashes // b} AS INT) AS n_bands,
+         CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(n_candidates AS BIGINT) AS n_candidates,
+         CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+         CAST(n_caught AS BIGINT) AS n_caught,
+         round(CAST(n_caught AS DOUBLE) / greatest(n_true_pairs, 1), 6)
+           AS pairs_completeness,
+         round(CAST(n_caught AS DOUBLE) / greatest(n_candidates, 1), 6)
+           AS pairs_quality,
+         round(1.0 - CAST(n_candidates AS DOUBLE)
+                     / greatest(CAST(n_docs AS DOUBLE) * (n_docs - 1)
+                                / 2, 1.0), 6)
+           AS reduction_ratio
+  FROM nd, nc{b}, nt, cg{b}
+)"""
+
+    d["dedup_blocking_curve"] = (
+        "WITH " + _shingle_sql().lstrip() + """,
+mh AS (
+  SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS h
+  FROM sh, unnest(generate_series(0, 11)) t(k)
+  GROUP BY doc_id, k
+),""" + _bs_truth + ","
+        + ",".join(_bs_row(b) for b in (1, 2, 4))
+        + """
+SELECT * FROM row1 UNION ALL SELECT * FROM row2
+UNION ALL SELECT * FROM row4""")
 
     # bpe_fertility: per-language aggregate over the bpe_encode
     # replica (nested WITH in a derived table)

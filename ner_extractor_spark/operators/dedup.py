@@ -225,14 +225,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     sig = sh.groupBy("id").agg(*[
         F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle"))))
         .alias(f"h{k}") for k in range(n_hashes)])
-    bands = sig.select("id", F.posexplode(F.array(*[
-        F.concat_ws("", F.array_sort(F.array(
-            *[F.col(f"h{b * band_size + j}") for j in range(band_size)])))
-        for b in range(n_hashes // band_size)])).alias("band", "bh"))
-    a = bands.select(F.col("id").alias("a"), "band", "bh")
-    b = bands.select(F.col("id").alias("b"), "band", "bh")
-    return (a.join(b, on=["band", "bh"]).filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+    return _band_pairs(_bands_from_sig(sig, n_hashes, band_size))
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
@@ -610,3 +603,104 @@ def blocking_stats(docs: DataFrame, id_col: str = "doc_id",
                             6).alias("pairs_quality"),
                     F.round(F.lit(1.0) - F.col("n_candidates") / all_pairs,
                             6).alias("reduction_ratio")))
+
+
+def _bands_from_sig(sig: DataFrame, n_hashes: int,
+                    band_size: int) -> DataFrame:
+    """(id, h0..h{n-1}) signature table -> (id, band, bh) band keys:
+    each band's ``band_size`` minhashes sorted BY VALUE (the multiset
+    key minhash_lsh_pairs uses — mirrored by the DuckDB oracle's
+    ORDER BY h)."""
+    return sig.select("id", F.posexplode(F.array(*[
+        F.concat_ws("", F.array_sort(F.array(
+            *[F.col(f"h{b * band_size + j}") for j in range(band_size)])))
+        for b in range(n_hashes // band_size)])).alias("band", "bh"))
+
+
+def _band_pairs(bands: DataFrame) -> DataFrame:
+    a = bands.select(F.col("id").alias("a"), "band", "bh")
+    b = bands.select(F.col("id").alias("b"), "band", "bh")
+    return (a.join(b, on=["band", "bh"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def blocking_curve(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n_hashes: int = N_HASHES,
+                   band_sizes: tuple = (1, 2, 4),
+                   threshold: float = 0.5,
+                   shingle_n: int = 3) -> DataFrame:
+    """The band-width TUNING CURVE behind ``blocking_stats``: the same
+    three blocking metrics at several LSH band widths, all from ONE
+    corpus shingle pass and ONE signature aggregation — the sweep you
+    read before fixing ``band_size`` for a 100 TB dedup run (wider
+    bands push the s-curve threshold up: fewer candidates, lower
+    completeness; the curve shows where YOUR corpus sits).
+
+    One row per band width: (band_size, n_bands, n_docs, n_candidates,
+    n_true_pairs, n_caught, pairs_completeness, pairs_quality,
+    reduction_ratio).
+
+    Scale shape: the corpus is shingled once (shared localCheckpoint),
+    hashed into the signature once (n_hashes min() aggregates), and
+    the exact truth set is computed once; each band width then costs
+    only a posexplode over the BOUNDED signature table + a bucket
+    self-join.  Same sampled-slice audit posture as blocking_stats.
+    """
+    if not threshold > 0:
+        raise ValueError("threshold must be > 0")
+    for b in band_sizes:
+        if n_hashes % b:
+            raise ValueError(f"band_size {b} must divide n_hashes")
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(word_shingles(F.col(text_col), shingle_n))
+                      .alias("shingle"))
+          .localCheckpoint())
+    sig = (sh.groupBy("id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle"))))
+        .alias(f"h{k}") for k in range(n_hashes)])
+        .localCheckpoint())
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
+    inter = (sh.select(F.col("id").alias("a"), "shingle")
+             .join(sh.select(F.col("id").alias("b"), "shingle"),
+                   on="shingle")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("ninter")))
+    truth = (inter
+             .join(sizes.select(F.col("id").alias("a"),
+                                F.col("nsh").alias("na")), on="a")
+             .join(sizes.select(F.col("id").alias("b"),
+                                F.col("nsh").alias("nb")), on="b")
+             .filter(F.col("ninter")
+                     / (F.col("na") + F.col("nb") - F.col("ninter"))
+                     >= F.lit(threshold))
+             .select("a", "b")
+             .localCheckpoint())
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    rows = None
+    for b in band_sizes:
+        cand = _band_pairs(_bands_from_sig(sig, n_hashes, b)) \
+            .localCheckpoint()
+        nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        cg = (truth.join(cand, on=["a", "b"])
+              .agg(F.count(F.lit(1)).alias("n_caught")))
+        all_pairs = F.greatest(
+            F.col("n_docs") * (F.col("n_docs") - 1) / 2, F.lit(1.0))
+        row = (nd.crossJoin(nc).crossJoin(nt).crossJoin(cg)
+               .select(F.lit(b).cast("int").alias("band_size"),
+                       F.lit(n_hashes // b).cast("int").alias("n_bands"),
+                       "n_docs", "n_candidates", "n_true_pairs",
+                       "n_caught",
+                       F.round(F.col("n_caught")
+                               / F.greatest(F.col("n_true_pairs"),
+                                            F.lit(1)), 6)
+                       .alias("pairs_completeness"),
+                       F.round(F.col("n_caught")
+                               / F.greatest(F.col("n_candidates"),
+                                            F.lit(1)), 6)
+                       .alias("pairs_quality"),
+                       F.round(F.lit(1.0) - F.col("n_candidates")
+                               / all_pairs, 6)
+                       .alias("reduction_ratio")))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

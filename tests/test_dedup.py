@@ -366,3 +366,27 @@ def test_blocking_stats_rejects_nonpositive_threshold(spark):
     from ner_extractor_spark.operators.dedup import blocking_stats
     with pytest.raises(ValueError):
         blocking_stats(_docs(spark), threshold=0.0)
+
+
+def test_blocking_curve_monotone_and_consistent(spark):
+    """Wider bands = stricter blocking: candidates and completeness
+    are non-increasing in band_size, and every band's candidate set
+    is a subset of band_size=1's (a shared band of width b implies b
+    shared single-hash bands)."""
+    from ner_extractor_spark.operators.dedup import (blocking_curve,
+                                                     blocking_stats)
+    d = _docs(spark)
+    rows = {r["band_size"]: r.asDict()
+            for r in blocking_curve(d, band_sizes=(1, 2, 4)).collect()}
+    assert [rows[b]["n_bands"] for b in (1, 2, 4)] == [12, 6, 3]
+    cands = [rows[b]["n_candidates"] for b in (1, 2, 4)]
+    assert cands == sorted(cands, reverse=True)
+    compl = [rows[b]["pairs_completeness"] for b in (1, 2, 4)]
+    assert compl == sorted(compl, reverse=True)
+    assert all(r["n_true_pairs"] == rows[1]["n_true_pairs"]
+               for r in rows.values())
+    # the band_size=2 row must equal blocking_stats' default reading
+    st = blocking_stats(d, threshold=0.5).collect()[0].asDict()
+    for k in ("n_candidates", "n_caught", "pairs_completeness",
+              "pairs_quality", "reduction_ratio"):
+        assert rows[2][k] == st[k], k
