@@ -1745,14 +1745,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_rule_infer(spark, sf):
         # r06: KG completion — apply the conf>=0.5 mined rules back to
         # the triple table; novel facts only, best rule per fact
-        from ner_extractor_spark.operators.kg_quality import (infer_facts,
-                                                              mine_rules)
+        from ner_extractor_spark.operators.kg_quality import (
+            distinct_pairs, infer_facts, mine_rules)
         # NO barrier on the raw triples: a localCheckpoint here
         # materializes every extraction column and defeats pruning
-        # (measured 2x slower); the per-operator barriers land on the
-        # 3-column distinct pair table instead
+        # (measured 2x slower); the barrier lands on the 3-column
+        # distinct pair table instead — and is SHARED between mining
+        # and inference (r07: each used to materialize its own copy,
+        # running the whole extraction pipeline twice)
         tri = _triples_df(spark, sf)
-        return infer_facts(tri, mine_rules(tri), min_conf=0.5)
+        P = distinct_pairs(tri)
+        return infer_facts(tri, mine_rules(tri, pairs=P), min_conf=0.5,
+                           pairs=P)
 
     def kg_type_signatures(spark, sf):
         # r06: SDType-style domain/range induction — LEARN each

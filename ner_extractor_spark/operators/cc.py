@@ -26,20 +26,23 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 50) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id
     per component (self-loops and duplicate/reversed edges welcome)."""
+    # checkpoint the symmetrized edge set FIRST (r07): the initial
+    # labels derive from it, so ordering the barriers sym -> labels
+    # runs the (possibly expensive — LSH candidate generation in
+    # resolve_duplicates) upstream edge pipeline ONCE; the old order
+    # computed it under both checkpoints.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-    )
+    ).localCheckpoint()
     # initial label: min(self, min neighbour)
     labels = (
         sym.groupBy("a").agg(F.min("b").alias("nb"))
         .select(F.col("a").alias("node"),
                 F.least(F.col("a"), F.col("nb")).alias("comp"))
     ).localCheckpoint()
-
-    sym = sym.localCheckpoint()
 
     for _ in range(max_iter):
         # propagate: candidate label for each node = min(label of neighbours)
@@ -57,6 +60,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         ).localCheckpoint()
         changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.select("node", "comp")
+        if changed == 0:
+            # propagation fixpoint: comp(v) <= comp(u) across every
+            # (symmetric) edge, so comp is CONSTANT per component and
+            # equals the reachable min — the pointer jump below would
+            # be the identity; returning here saves its barrier job
+            # (r07; the result is provably identical).
+            return labels
         # pointer-jumping (path doubling): comp <- label(comp); turns the
         # O(diameter) propagation into O(log diameter) rounds on chains.
         parent = labels.select(F.col("node").alias("comp"),
@@ -66,7 +76,5 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select("node",
                     F.least(F.col("comp"), F.coalesce("gcomp", "comp")).alias("comp"))
         ).localCheckpoint()
-        if changed == 0:
-            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations")

@@ -198,12 +198,30 @@ def fact_timeline(triples: DataFrame, pages: DataFrame) -> DataFrame:
                     "n_obs"))
 
 
+def distinct_pairs(triples: DataFrame, *,
+                   subj_col: str = "subj_surface",
+                   obj_col: str = "obj_surface",
+                   materialize: bool = True) -> DataFrame:
+    """The (x, pred, y) distinct-fact table ``mine_rules`` /
+    ``infer_facts`` operate on, materialized once (r07): a caller
+    running mine-then-infer passes the SAME checkpointed table to both
+    via ``pairs=`` so the upstream extraction pipeline runs once, not
+    once per operator (the calibrated_curation score-sharing
+    discipline).  ``materialize=False`` keeps it lazy (beyond-memory
+    corpora persist a parquet stage instead — see mine_rules)."""
+    P = (triples.select(F.col(subj_col).alias("x"), "pred",
+                        F.col(obj_col).alias("y"))
+         .distinct())
+    return P.localCheckpoint() if materialize else P
+
+
 def mine_rules(triples: DataFrame, *, min_support: int = 2,
                min_conf: float = 0.05, chain: bool = True,
                max_fanout: int | None = 64,
                materialize: bool = True,
                subj_col: str = "subj_surface",
-               obj_col: str = "obj_surface") -> DataFrame:
+               obj_col: str = "obj_surface",
+               pairs: DataFrame | None = None) -> DataFrame:
     """AMIE-style horn-rule mining over the triple table (Galárraga et
     al., AMIE+, VLDB J. 2015 — public algorithm): discover rules whose
     body predicts the head predicate, scored by
@@ -244,12 +262,12 @@ def mine_rules(triples: DataFrame, *, min_support: int = 2,
     discipline).  P is one row per distinct triple — for
     beyond-memory corpora persist it as a parquet stage instead
     (``plans.checkpoints.write_stage``, the winnow_matches posture)
-    and call with ``materialize=False``."""
-    P = (triples.select(F.col(subj_col).alias("x"), "pred",
-                        F.col(obj_col).alias("y"))
-         .distinct())
-    if materialize:
-        P = P.localCheckpoint()
+    and call with ``materialize=False``.  ``pairs=`` (r07) supplies a
+    precomputed ``distinct_pairs`` table so a mine-then-infer caller
+    pays for the extraction pipeline once."""
+    P = pairs if pairs is not None else distinct_pairs(
+        triples, subj_col=subj_col, obj_col=obj_col,
+        materialize=materialize)
     marg = P.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pairs"))
     head = P.select(F.col("pred").alias("head_pred"), "x", "y")
 
@@ -316,7 +334,8 @@ def infer_facts(triples: DataFrame, rules: DataFrame, *,
                 min_conf: float = 0.5, max_fanout: int | None = 64,
                 materialize: bool = True,
                 subj_col: str = "subj_surface",
-                obj_col: str = "obj_surface") -> DataFrame:
+                obj_col: str = "obj_surface",
+                pairs: DataFrame | None = None) -> DataFrame:
     """KG completion: apply ``mine_rules`` output back to the triple
     table and materialize the facts the rules PREDICT but the KG does
     not yet contain — (subj, pred, obj, rule_kind, rule_body, conf),
@@ -336,12 +355,12 @@ def infer_facts(triples: DataFrame, rules: DataFrame, *,
     hundreds of rows at most); candidate generation and the anti-join
     key on the entity pair / triple identity; the chain hop reuses
     the ``max_fanout`` hub cap.  ``materialize`` barriers the distinct
-    pair table exactly as in ``mine_rules``."""
-    P = (triples.select(F.col(subj_col).alias("x"), "pred",
-                        F.col(obj_col).alias("y"))
-         .distinct())
-    if materialize:
-        P = P.localCheckpoint()
+    pair table exactly as in ``mine_rules``; ``pairs=`` (r07) reuses a
+    caller-materialized ``distinct_pairs`` table (the mine-then-infer
+    composition shares one)."""
+    P = pairs if pairs is not None else distinct_pairs(
+        triples, subj_col=subj_col, obj_col=obj_col,
+        materialize=materialize)
     r = rules.filter(F.col("conf") >= min_conf).select(
         "kind", "head_pred", "body", "conf")
 

@@ -53,30 +53,42 @@ BROADCAST_MAX_MODEL_ROWS = 1_000_000
 def trigram_logprob(docs: DataFrame, model: DataFrame,
                     id_col: str = "doc_id",
                     text_col: str = "text",
-                    join_mode: str = "broadcast") -> DataFrame:
+                    join_mode: str = "broadcast",
+                    materialize_model: bool = True) -> DataFrame:
     """(doc_id, n_tris, lm_score): mean smoothed trigram log-prob of
     each document under ``model`` — low scores = out-of-distribution
     text (gibberish, wrong language, encoding damage).
 
     ``join_mode`` (VERDICT r03 #7): ``'broadcast'`` (the DEFAULT —
-    ADVICE r04: it is lazy, adds no plan-construction Spark job, and
-    is right for the common case of a bounded |alphabet|³ model) ships
-    the model to every executor; for real multilingual web text the
-    model can exceed any broadcast threshold, so ``'shuffle'`` joins
-    on ``tri`` as an ordinary shuffle join (hot trigrams — 'the'-class
-    — are the AQE-skew-join / salt_explode case, the same posture as
-    the TF-IDF idf join).  ``'auto'`` picks by model row count against
-    ``BROADCAST_MAX_MODEL_ROWS`` — note this triggers an EAGER
-    ``model.count()`` job at plan-construction time, which is why it
-    is opt-in rather than the default.  Both modes are
-    equality-pinned in tests/test_lm.py.
-    """
+    ADVICE r04: right for the common case of a bounded |alphabet|³
+    model) ships the model to every executor; for real multilingual
+    web text the model can exceed any broadcast threshold, so
+    ``'shuffle'`` joins on ``tri`` as an ordinary shuffle join (hot
+    trigrams — 'the'-class — are the AQE-skew-join / salt_explode
+    case, the same posture as the TF-IDF idf join).  ``'auto'`` picks
+    by model row count against ``BROADCAST_MAX_MODEL_ROWS`` — note
+    this triggers an EAGER ``model.count()`` job at plan-construction
+    time, which is why it is opt-in rather than the default.  Both
+    modes are equality-pinned in tests/test_lm.py.
+
+    ``materialize_model`` (r07, guide §2.4 — remove shuffles
+    outright): the model feeds TWO consumers (the scoring join and the
+    (N, D) normalizer aggregate), and Catalyst does not reuse the
+    exchange between them (the join side plants an isnotnull filter
+    the normalizer side lacks, so the canonical subtrees differ) —
+    without a barrier the full corpus trigram explode+aggregate runs
+    TWICE per scoring pass (measured: one model pass is ~40% of the
+    whole scoring job at sf0.1).  The default localCheckpoint
+    materializes the BOUNDED (≤ |alphabet|³ rows) model once; pass
+    ``False`` only when the caller already materialized it."""
     if join_mode == "auto":
         join_mode = ("broadcast"
                      if model.count() <= BROADCAST_MAX_MODEL_ROWS
                      else "shuffle")
     if join_mode not in ("broadcast", "shuffle"):
         raise ValueError(f"join_mode: {join_mode}")
+    if materialize_model:
+        model = model.localCheckpoint()
     norm = model.agg(F.sum("c").alias("n_total"),
                      F.count(F.lit(1)).alias("n_distinct"))
     tris = docs.select(F.col(id_col).alias("doc_id"),
