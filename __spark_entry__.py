@@ -494,8 +494,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_pairs(_docs(spark, sf))
 
     def dedup_jaccard(spark, sf):
+        # r07: ONE corpus shingle pass shared between LSH candidate
+        # generation and exact-Jaccard verification (the blocking_stats
+        # discipline) — both consume the same materialized exploded
+        # (doc_id, shingle) table
+        from ner_extractor_spark.operators.dedup import word_shingles
         d = _docs(spark, sf)
-        return ngram_jaccard(d, minhash_lsh_pairs(d))
+        sh = d.select(
+            F.col("doc_id"),
+            F.explode(word_shingles(F.col("text"))).alias("shingle")
+        ).localCheckpoint()
+        return ngram_jaccard(d, minhash_lsh_pairs(d, shingles=sh),
+                             shingles=sh)
 
     def dedup_resolve(spark, sf):
         from ner_extractor_spark.operators.dedup import resolve_duplicates
@@ -1832,7 +1842,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ECHAR-escaped literals, md5-bucketed partition key) over the
         # extracted triple table; pure JVM string algebra, no UDFs
         from ner_extractor_spark.sources.ntriples import to_ntriples
-        return to_ntriples(_triples_df(spark, sf))
+        # r07: the export's 3 statement families (fact / type / label)
+        # each read the triple table — materialize the 5-column
+        # projection once instead of running the extraction pipeline
+        # once per union branch (an export from a stored triple table
+        # needs no barrier, so it lives here, not in the operator)
+        tri = _triples_df(spark, sf).select(
+            "subj_surface", "pred", "obj_surface",
+            "subj_label", "obj_label").localCheckpoint()
+        return to_ntriples(tri)
 
     def dedup_blocking_stats(spark, sf):
         # r06: blocking-quality audit of the MinHash-LSH candidate

@@ -80,12 +80,24 @@ def apply_merge(syms_col, left: str, right: str):
 
 
 def train_bpe(docs: DataFrame, n_merges: int = 8,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text", fuse: int = 2) -> DataFrame:
     """Learn ``n_merges`` merge rules; returns (rank, left, right,
-    merged, c) ordered by rank — the artifact a tokenizer ships."""
+    merged, c) ordered by rank — the artifact a tokenizer ships.
+
+    ``fuse`` (r07, the ``bpe_encode`` chunking discipline): merge
+    applications CHAIN LAZILY onto the checkpointed word table, with a
+    lineage barrier only every ``fuse`` rules — the per-round argmax
+    collect then re-evaluates at most ``fuse - 1`` pending folds over
+    the BOUNDED vocabulary table (work ∝ vocabulary, trivially cheap)
+    instead of paying one blocking barrier job per round (measured:
+    one job per round was half the training wall-clock at sf0.1).
+    Identical rules either way — the fold chain is deterministic."""
+    if fuse <= 0:
+        raise ValueError("fuse must be positive")
     spark = docs.sparkSession
     words = init_symbols(word_counts(docs, text_col)).localCheckpoint()
     rules = []
+    pending = 0
     for rank in range(1, n_merges + 1):
         top = (adjacent_pair_counts(words)
                .orderBy(F.desc("c"), F.asc("left"), F.asc("right"))
@@ -96,8 +108,14 @@ def train_bpe(docs: DataFrame, n_merges: int = 8,
         rules.append((rank, left, right, left + right, c))
         words = words.select(
             "word", "cnt",
-            apply_merge(F.col("syms"), left, right).alias("syms")
-        ).localCheckpoint()
+            apply_merge(F.col("syms"), left, right).alias("syms"))
+        pending += 1
+        # barrier every `fuse` rules (bounds codegen depth and keeps
+        # the per-round re-evaluation small); the final round's words
+        # table is discarded, so no trailing barrier
+        if pending == fuse and rank < n_merges:
+            words = words.localCheckpoint()
+            pending = 0
     return spark.createDataFrame(
         rules, "rank int, left string, right string, merged string, c bigint")
 

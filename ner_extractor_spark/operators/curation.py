@@ -31,7 +31,8 @@ from ner_extractor_spark.operators.lm import trigram_logprob, trigram_model
 def curation_scores(docs: DataFrame, *, id_col: str = "doc_id",
                     text_col: str = "text",
                     lm_join: str = "broadcast",
-                    shingles: DataFrame | None = None) \
+                    shingles: DataFrame | None = None,
+                    materialize_model: bool = True) \
         -> tuple[DataFrame, DataFrame]:
     """(lm, dup): the two corpus-statistics per-document score tables
     the curation chain consumes — ``trigram_logprob`` under the
@@ -52,7 +53,8 @@ def curation_scores(docs: DataFrame, *, id_col: str = "doc_id",
     to pick by model row count (costs an eager count job)."""
     lm = trigram_logprob(docs, trigram_model(docs, text_col=text_col),
                          id_col=id_col, text_col=text_col,
-                         join_mode=lm_join)
+                         join_mode=lm_join,
+                         materialize_model=materialize_model)
     dup = dup_ngram_fraction(docs, id_col=id_col, text_col=text_col,
                              shingles=shingles)
     return lm, dup
@@ -260,32 +262,67 @@ def calibrated_curation(docs: DataFrame, *, id_col: str = "doc_id",
     petabyte scale swap it for a persisted ``write_stage`` parquet,
     the exact_substr/winnow posture, or pass ``checkpoint=False`` to
     trade re-computation for zero materialization.)"""
-    shingles = None
-    if near is True:
-        from .dedup import word_shingles
-        shingles = docs.select(
-            F.col(id_col),
-            F.explode(word_shingles(F.col(text_col))).alias("shingle"))
-        if checkpoint:
-            shingles = shingles.localCheckpoint()
-        near = near_dup_keepers(docs, id_col=id_col, text_col=text_col,
-                                shingles=shingles)
-    lm, dup = curation_scores(docs, id_col=id_col, text_col=text_col,
-                              lm_join=lm_join, shingles=shingles)
     if checkpoint:
-        # materialize the two INDEPENDENT score pipelines CONCURRENTLY
-        # (r06): localCheckpoint is a blocking job, and running the
-        # trigram-LM pass and the shingle-df pass back-to-back leaves
-        # the cluster idle through each one's stragglers/barrier —
-        # measured 84% wide-leg core utilization on the strict scaling
-        # pairs.  Two driver threads submit both jobs; the scheduler
-        # interleaves their stages and fills the idle gaps.  Results
-        # are identical (each job is deterministic and independent).
+        # TWO CONCURRENT DRIVER CHAINS (r07, extending the r06
+        # two-thread barrier — guide §2.6 overlap-independent-jobs):
+        #
+        #   chain A: trigram model ckpt -> LM scoring ckpt
+        #   chain B: shingle explode ckpt (near only) -> dup-fraction
+        #            ckpt -> near-dup LSH + CC closure (near only)
+        #
+        # The LM chain and the shingle chain touch disjoint state, so
+        # each chain's barriers/stragglers back-fill with the other
+        # chain's tasks; the r06 form serialized the model pass, the
+        # shingle pass and the CC rounds ahead of the two-thread lm/dup
+        # step.  Results are identical — both chains are deterministic
+        # and independent, and every barrier lands on the same tables
+        # as before.
         from concurrent.futures import ThreadPoolExecutor
+
+        from .lm import trigram_logprob, trigram_model
+
+        def chain_lm():
+            model = trigram_model(docs, text_col=text_col) \
+                .localCheckpoint()
+            return trigram_logprob(docs, model, id_col=id_col,
+                                   text_col=text_col, join_mode=lm_join,
+                                   materialize_model=False) \
+                .localCheckpoint()
+
+        def chain_dup(near):
+            shingles = None
+            if near is True:
+                from .dedup import word_shingles
+                shingles = docs.select(
+                    F.col(id_col),
+                    F.explode(word_shingles(F.col(text_col)))
+                    .alias("shingle")).localCheckpoint()
+            dup = dup_ngram_fraction(docs, id_col=id_col,
+                                     text_col=text_col,
+                                     shingles=shingles) \
+                .localCheckpoint()
+            if near is True:
+                near = near_dup_keepers(docs, id_col=id_col,
+                                        text_col=text_col,
+                                        shingles=shingles)
+            return dup, near
+
         with ThreadPoolExecutor(2) as pool:
-            f_lm = pool.submit(lm.localCheckpoint)
-            f_dup = pool.submit(dup.localCheckpoint)
-            lm, dup = f_lm.result(), f_dup.result()
+            f_lm = pool.submit(chain_lm)
+            f_dup = pool.submit(chain_dup, near)
+            lm = f_lm.result()
+            dup, near = f_dup.result()
+    else:
+        shingles = None
+        if near is True:
+            from .dedup import word_shingles
+            shingles = docs.select(
+                F.col(id_col),
+                F.explode(word_shingles(F.col(text_col))).alias("shingle"))
+            near = near_dup_keepers(docs, id_col=id_col, text_col=text_col,
+                                    shingles=shingles)
+        lm, dup = curation_scores(docs, id_col=id_col, text_col=text_col,
+                                  lm_join=lm_join, shingles=shingles)
     thr = calibrate_thresholds(scores=(lm, dup),
                                lm_quantile=lm_quantile,
                                dup_quantile=dup_quantile,

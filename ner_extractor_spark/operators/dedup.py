@@ -230,7 +230,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
-                  shingle_n: int = 3) -> DataFrame:
+                  shingle_n: int = 3,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard similarity for candidate pairs (verification phase).
     jaccard = |A ∩ B| / |A ∪ B| over word shingles.
 
@@ -244,18 +245,34 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
     two-phase dedup contract reads candidates from a table in
     production, and without the barrier Catalyst re-evaluates the whole
     candidate-generation DAG for each of its four uses here (measured
-    ~3x the query time at sf0.1)."""
+    ~3x the query time at sf0.1).
+
+    ``shingles=`` (r07): a pre-built, MATERIALIZED (id_col, shingle)
+    exploded table (``word_shingles`` distinct semantics, same
+    ``shingle_n``) — the two-phase composition then shares ONE corpus
+    shingle pass between candidate generation (``minhash_lsh_pairs``)
+    and this verification instead of re-shingling the candidate
+    documents."""
     pairs = pairs.localCheckpoint()
     ids = (pairs.select(F.col("a").alias("id"))
            .unionByName(pairs.select(F.col("b").alias("id")))
            .distinct())
-    # sh is consumed three times (sizes + both pair joins) — materialize
-    # it too, or the shingle pipeline re-evaluates per consumer
-    sh = (docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-          .join(ids, on="id", how="leftsemi")
-          .select("id", F.explode(word_shingles(F.col("t"), shingle_n))
-                  .alias("shingle"))
-          .localCheckpoint())
+    if shingles is not None:
+        # already exploded + materialized by the caller: the semi-join
+        # just narrows it to candidate docs, no second corpus pass
+        sh = (shingles.select(F.col(id_col).alias("id"), "shingle")
+              .join(ids, on="id", how="leftsemi"))
+    else:
+        # sh is consumed three times (sizes + both pair joins) —
+        # materialize it, or the shingle pipeline re-evaluates per
+        # consumer
+        sh = (docs.select(F.col(id_col).alias("id"),
+                          F.col(text_col).alias("t"))
+              .join(ids, on="id", how="leftsemi")
+              .select("id",
+                      F.explode(word_shingles(F.col("t"), shingle_n))
+                      .alias("shingle"))
+              .localCheckpoint())
     # word_shingles is array_distinct, so count(*) == set size
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
     inter = (
@@ -282,11 +299,15 @@ def simhash_bits_from(hexes_col, n_bits: int = 16):
     Bit j = majority vote over tokens of bit j of md5(token); a token's
     bit j = 1 iff hex digit j of its md5 is >= '8' (top bit of nibble).
     Deterministic, portable (same formula reproducible in ANSI SQL).
-    """
+
+    r07 (guide §1.2 per-task work): md5() emits LOWERCASE hex, so the
+    top-bit test is the single lexicographic compare ``digit >= '8'``
+    ('8', '9' and 'a'-'f' all sort above '8'; '0'-'7' below) — the
+    prior upper() + 8-way isin did 9 string ops per (token × bit).
+    Identical bits by construction (pinned in test_dedup)."""
     return F.array(*[
         (F.size(F.filter(hexes_col,
-                         lambda h: F.upper(F.substring(h, j + 1, 1))
-                         .isin("8", "9", "A", "B", "C", "D", "E", "F")))
+                         lambda h: F.substring(h, j + 1, 1) >= "8"))
          * 2 > F.size(hexes_col)).cast("int")
         for j in range(n_bits)
     ])
@@ -559,30 +580,38 @@ def blocking_stats(docs: DataFrame, id_col: str = "doc_id",
                       .alias("shingle"))
           .localCheckpoint())  # shared: LSH signature + sizes + both
     #                            truth join sides
-    cand = (minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
-                              n_hashes=n_hashes, band_size=band_size,
-                              shingles=sh)
-            .localCheckpoint())  # consumed twice: count + caught join
-    sh = sh.select(F.col(id_col).alias("id"), "shingle")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
+    cand_lazy = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
+                                  n_hashes=n_hashes, band_size=band_size,
+                                  shingles=sh)
+    shk = sh.select(F.col(id_col).alias("id"), "shingle")
+    sizes = shk.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
     # any pair with jaccard > 0 shares >= 1 shingle, so the
     # shingle-equijoin enumeration of the truth set is exact for any
     # threshold > 0
-    inter = (sh.select(F.col("id").alias("a"), "shingle")
-             .join(sh.select(F.col("id").alias("b"), "shingle"),
+    inter = (shk.select(F.col("id").alias("a"), "shingle")
+             .join(shk.select(F.col("id").alias("b"), "shingle"),
                    on="shingle")
              .filter(F.col("a") < F.col("b"))
              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("ninter")))
-    truth = (inter
-             .join(sizes.select(F.col("id").alias("a"),
-                                F.col("nsh").alias("na")), on="a")
-             .join(sizes.select(F.col("id").alias("b"),
-                                F.col("nsh").alias("nb")), on="b")
-             .filter(F.col("ninter")
-                     / (F.col("na") + F.col("nb") - F.col("ninter"))
-                     >= F.lit(threshold))
-             .select("a", "b")
-             .localCheckpoint())  # consumed twice: count + caught join
+    truth_lazy = (inter
+                  .join(sizes.select(F.col("id").alias("a"),
+                                     F.col("nsh").alias("na")), on="a")
+                  .join(sizes.select(F.col("id").alias("b"),
+                                     F.col("nsh").alias("nb")), on="b")
+                  .filter(F.col("ninter")
+                          / (F.col("na") + F.col("nb") - F.col("ninter"))
+                          >= F.lit(threshold))
+                  .select("a", "b"))
+    # candidate and truth tables are INDEPENDENT given sh (each is
+    # consumed twice: count + caught join) — materialize them
+    # CONCURRENTLY (guide §2.6 overlap-independent-jobs; the
+    # calibrated_curation two-thread discipline) so the truth side's
+    # stragglers back-fill with candidate-side tasks
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as pool:
+        f_cand = pool.submit(cand_lazy.localCheckpoint)
+        f_truth = pool.submit(truth_lazy.localCheckpoint)
+        cand, truth = f_cand.result(), f_truth.result()
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))

@@ -124,6 +124,13 @@ def link_exact_salted(mentions: DataFrame, aliases: DataFrame,
     paths (ADVICE r04).
     """
     m = mentions.withColumn("alias_norm", norm_surface(F.col("surface")))
+    if k is None and skew_profile is None:
+        # the in-line skew profile is an extra full pass over the
+        # mention pipeline — materialize the mention table once (r07)
+        # so the profile aggregation and the salted join share one
+        # upstream evaluation (callers with a precomputed profile
+        # skip both the pass and the barrier)
+        m = m.localCheckpoint()
     if k is None:
         n_part = _shuffle_partitions(m.sparkSession)
         k = auto_salt_k(m, "alias_norm", n_part, profile=skew_profile)
@@ -225,8 +232,10 @@ def nil_clusters(mentions: DataFrame, aliases: DataFrame,
     cluster with themselves)."""
     from .cc import connected_components
 
+    # 3 consumers (both LSH band sides + the final join-back), each on
+    # top of the full mention-extraction pipeline — one barrier (r07)
     resid = (unlinked(mentions, aliases)
-             .select("alias_norm").distinct())
+             .select("alias_norm").distinct().localCheckpoint())
     cand = lsh_candidates(resid, "alias_norm", resid, "alias_norm")
     pairs = cand.filter(F.col("alias_norm") < F.col("alias_norm_r"))
     comp = connected_components(pairs, src="alias_norm", dst="alias_norm_r")
@@ -300,7 +309,13 @@ def link_coherent(mentions: DataFrame, aliases: DataFrame,
               .agg(F.countDistinct("entity_id").alias("n_cand")))
     dim = aliases.join(acount, on="alias_norm")
     m = mentions.withColumn("alias_norm", norm_surface(F.col("surface")))
-    cand = m.join(F.broadcast(dim), on="alias_norm")
+    # the candidate table feeds the context derivation AND the scoring
+    # join (plus both relatedness sides when it is corpus-derived) —
+    # one barrier (r07) instead of one upstream mention-extraction
+    # pass per consumer; the table is mention-row-sized (bounded
+    # candidate fan-out per mention), the localCheckpoint class every
+    # per-doc score table in this repo uses
+    cand = m.join(F.broadcast(dim), on="alias_norm").localCheckpoint()
     ctx = context_entities(cand)
 
     if relatedness is None:
@@ -375,8 +390,13 @@ def link_embed(mentions: DataFrame, aliases: DataFrame,
     A production swap drops a learned encoder into the same (key, vec,
     nrm) shape; every downstream step (candidate join, cosine, top-1
     window) runs unchanged."""
+    # the residual-surface table is consumed TWICE (the LSH candidate
+    # side and the vectorizer) and sits on top of the full upstream
+    # mention-extraction pipeline — materialize the tiny distinct
+    # table once (r07; without the barrier the extraction pipeline ran
+    # once per consumer, measured ~2x the query's map work at sf0.1)
     resid = (unlinked(mentions, aliases)
-             .select("alias_norm").distinct())
+             .select("alias_norm").distinct().localCheckpoint())
     al = best_alias_rows(aliases)
     asurf = al.select(F.col("alias_norm").alias("alias_r")).distinct()
     if candidates == "all":
