@@ -1503,7 +1503,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, synthetic_weights(spark),
             blocked_domains=("tracker.test", "spam.example"),
             blocked_terms=("casino",))
-        kept = d.join(verdict.filter("keep").select("doc_id"), "doc_id")
+        # r07: remove_exact_substrings consumes its input TWICE (the
+        # positional-gram side and the span-removal join-back) — one
+        # barrier on the kept survivors instead of re-running the
+        # verdict assembly joins per consumer (at petabyte scale this
+        # barrier is the pipeline's write_stage boundary, cf.
+        # plans/curation_pipeline.py)
+        kept = d.join(verdict.filter("keep").select("doc_id"), "doc_id") \
+            .localCheckpoint()
         cleaned = remove_exact_substrings(kept, n=8)
         chunks = _chunk(cleaned, chunk_size=64).select(
             F.concat_ws("#", "doc_id", "chunk_id").alias("chunk_uid"),

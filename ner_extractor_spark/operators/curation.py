@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, functions as F
 from ner_extractor_spark.functions.quantiles import quantile_agg as _quantile
 from ner_extractor_spark.functions.text import quality_filter
 from ner_extractor_spark.operators.dedup import (dup_ngram_fraction,
-                                                 exact_dedup,
                                                  normalize_text)
 from ner_extractor_spark.operators.lm import trigram_logprob, trigram_model
 
@@ -181,20 +180,28 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     (the score-sharing discipline); ``False`` skips the rule — the
     default, so pre-r06 frozen-threshold contracts are unchanged.
     """
+    from pyspark.sql import Window
+
     _, q_reason = quality_filter(F.col(text_col))
     base = docs.select(
         F.col(id_col),
         F.md5(normalize_text(F.col(text_col))).alias("h"),
         q_reason.alias("q_reason"))
-    keepers = exact_dedup(docs, id_col=id_col, text_col=text_col) \
-        .select("h", "keeper")
+    # keeper = min id per content digest, as a WINDOW over the base
+    # table (r07, guide §2.4): the former exact_dedup join re-scanned
+    # docs and cost two exchanges (groupBy h + join h) where one
+    # digest-keyed exchange suffices — identical rows (exact_dedup's
+    # keeper is the same min-per-h, and every base row belongs to
+    # exactly one h group); the digest key is skew-free by
+    # construction.
+    base = base.withColumn(
+        "keeper", F.min(id_col).over(Window.partitionBy("h")))
     if scores is None:
         scores = curation_scores(docs, id_col=id_col, text_col=text_col,
                                  lm_join=lm_join)
     lm = scores[0].select(F.col("doc_id").alias(id_col), "lm_score")
     dup = scores[1].select(id_col, "dup_fraction")
-    joined = (base.join(keepers, "h")
-              .join(lm, id_col)
+    joined = (base.join(lm, id_col)
               .join(dup, id_col))
     if near is True:
         near = near_dup_keepers(docs, id_col=id_col, text_col=text_col)

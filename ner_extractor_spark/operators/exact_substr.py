@@ -32,19 +32,31 @@ from .dedup import normalize_text
 
 def _positional_grams(docs: DataFrame, n: int, id_col: str,
                       text_col: str) -> DataFrame:
-    """(doc_id, pos, g): md5 of the word n-gram starting at pos
-    (0-based), for every position; docs shorter than n yield none."""
+    """(doc_id, pos, g): 64-bit hash of the word n-gram starting at
+    pos (0-based), for every position; docs shorter than n yield none.
+
+    r07 (guide §2.3 narrower types): the gram key is INTERNAL — it
+    never reaches any output, only the df profile and the join-back —
+    so it is xxhash64 (8 bytes) rather than the md5 hex string
+    (32 chars ≈ 40+ bytes): the corpus-token-sized gram table, its
+    localCheckpoint/stage materialization and the df shuffle all
+    shrink ~4x.  (Engine-portable md5 is required only where the
+    ORACLE must replay the same hash VALUES — winnow fingerprints,
+    minhash signatures; here both engines just need their own
+    collision-free equality key, and 64 bits over a corpus-bounded
+    gram vocabulary is collision-safe in expectation far beyond any
+    practical corpus.)"""
     toks = F.split(normalize_text(F.col(text_col)), " ")
 
     def grams(tl):
         return F.transform(
             F.sequence(F.lit(1), F.size(tl) - (n - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(tl, i, n))))
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tl, i, n))))
 
     staged = docs.select(F.col(id_col).alias("doc_id"),
                          F.when(F.size(toks) >= n,
                                 F.get(F.transform(F.array(toks), grams), 0))
-                         .otherwise(F.array().cast("array<string>"))
+                         .otherwise(F.array().cast("array<bigint>"))
                          .alias("_g"))
     return staged.select(
         "doc_id", F.posexplode_outer("_g").alias("pos", "g")) \

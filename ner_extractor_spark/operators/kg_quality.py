@@ -450,8 +450,13 @@ def entity_salience(mentions: DataFrame, sentences: DataFrame,
           .agg(F.count(F.lit(1)).alias("n_mentions"),
                F.min("sent_id").alias("first_sent"),
                F.countDistinct("sent_id").alias("n_sents")))
-    dm = (mentions.groupBy("url")
-          .agg(F.count(F.lit(1)).alias("_doc_mentions")))
+    # doc mention total = sum of the group counts, as a WINDOW over
+    # the grouped table (r07, guide §2.4): the former separate
+    # mentions.groupBy(url) re-ran the whole upstream mention pipeline
+    # and joined back; the window reuses the url partitioning the
+    # ranking window needs anyway.  Identical values by construction.
+    em = em.withColumn("_doc_mentions",
+                       F.sum("n_mentions").over(W.partitionBy("url")))
     ds = (sentences.groupBy("url")
           .agg(F.count(F.lit(1)).alias("_doc_sents")))
     sal = F.round(
@@ -461,7 +466,7 @@ def entity_salience(mentions: DataFrame, sentences: DataFrame,
     w = W.partitionBy("url").orderBy(F.col("salience").desc(),
                                      F.col("surface").asc(),
                                      F.col("label").asc())
-    out = (em.join(dm, on="url").join(ds, on="url")
+    out = (em.join(ds, on="url")
            .withColumn("salience", sal)
            .withColumn("rank", F.row_number().over(w))
            .select("url", "surface", "label", "n_mentions", "first_sent",
