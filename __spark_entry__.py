@@ -1428,16 +1428,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             perceptron_scores, synthetic_weights, train_perceptron)
         from ner_extractor_spark.operators.web_verdict import \
             full_web_verdict
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ner_extractor_spark.operators.curation import \
+            calibrated_curation
         d = _web_docs_with_urls(_docs(spark, sf))
         keep, _ = quality_filter(F.col("text"))
         lab = d.select("doc_id", keep.cast("int").alias("label"))
-        w = train_perceptron(d, lab, n_buckets=64, n_rounds=3)
+        # r07 (guide §2.6): perceptron training and the curation
+        # chain are independent until the final verdict join —
+        # run both driver chains concurrently instead of training
+        # first and only then materializing the curation barriers
+        with ThreadPoolExecutor(2) as pool:
+            f_w = pool.submit(train_perceptron, d, lab,
+                              n_buckets=64, n_rounds=3)
+            f_cur = pool.submit(calibrated_curation, d)
+            w, cur = f_w.result(), f_cur.result()
         gate = perceptron_scores(d, w, n_buckets=64).select(
             "doc_id", F.col("keep").alias("cls_keep"))
         return full_web_verdict(
             d, synthetic_weights(spark),
             blocked_domains=("tracker.test", "spam.example"),
-            blocked_terms=("casino",), cls_keep=gate)
+            blocked_terms=("casino",), cls_keep=gate, curation=cur)
 
     def classifier_train(spark, sf):
         # VERDICT r05 #6: the quality classifier TRAINED in-Spark —

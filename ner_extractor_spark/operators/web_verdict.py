@@ -48,7 +48,8 @@ def full_web_verdict(docs: DataFrame, weights: DataFrame, *,
                      approx: bool = False,
                      accuracy: int = 10000,
                      near: DataFrame | bool = False,
-                     cls_keep: DataFrame | None = None) -> DataFrame:
+                     cls_keep: DataFrame | None = None,
+                     curation: DataFrame | None = None) -> DataFrame:
     """(id_col, keep, reason) — one first-violation verdict row per
     input document.
 
@@ -73,7 +74,14 @@ def full_web_verdict(docs: DataFrame, weights: DataFrame, *,
     weights learned by ``train_perceptron`` — and the 'classifier_low'
     rule fires on ``NOT cls_keep`` instead of the built-in hashed
     linear scorer's ``prob < cls_threshold``.  The gate table must be
-    TOTAL over the input (both built-ins are)."""
+    TOTAL over the input (both built-ins are).
+
+    ``curation`` makes the curation chain pluggable the same way
+    (r07): pass a precomputed (id_col, keep, reason) table — e.g.
+    ``calibrated_curation`` run on a separate driver thread while a
+    gate model trains (guide §2.6 overlap-independent-jobs) — and the
+    chain is consumed as-is instead of being built here.  Must be
+    TOTAL over the input and use the curate_corpus reason codes."""
     if (dup_threshold is None) != (lm_threshold is None):
         raise ValueError("pass both scalar thresholds (frozen mode) "
                          "or neither (corpus-local calibration)")
@@ -92,7 +100,9 @@ def full_web_verdict(docs: DataFrame, weights: DataFrame, *,
         term_hit = F.lit(False)
     gates = docs.select(F.col(id_col), dom_hit.alias("_domb"),
                         term_hit.alias("_termb"))
-    if dup_threshold is None:
+    if curation is not None:
+        cur = curation
+    elif dup_threshold is None:
         cur = calibrated_curation(docs, id_col=id_col, text_col=text_col,
                                   lm_quantile=lm_quantile,
                                   dup_quantile=dup_quantile,
