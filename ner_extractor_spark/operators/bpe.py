@@ -80,18 +80,20 @@ def apply_merge(syms_col, left: str, right: str):
 
 
 def train_bpe(docs: DataFrame, n_merges: int = 8,
-              text_col: str = "text", fuse: int = 2) -> DataFrame:
+              text_col: str = "text", fuse: int = 1) -> DataFrame:
     """Learn ``n_merges`` merge rules; returns (rank, left, right,
     merged, c) ordered by rank — the artifact a tokenizer ships.
 
     ``fuse`` (r07, the ``bpe_encode`` chunking discipline): merge
-    applications CHAIN LAZILY onto the checkpointed word table, with a
-    lineage barrier only every ``fuse`` rules — the per-round argmax
-    collect then re-evaluates at most ``fuse - 1`` pending folds over
-    the BOUNDED vocabulary table (work ∝ vocabulary, trivially cheap)
-    instead of paying one blocking barrier job per round (measured:
-    one job per round was half the training wall-clock at sf0.1).
-    Identical rules either way — the fold chain is deterministic."""
+    applications may CHAIN LAZILY onto the checkpointed word table,
+    with a lineage barrier only every ``fuse`` rules; the final
+    round's table is discarded, so its barrier is always skipped.
+    Identical rules for any ``fuse`` — the fold chain is
+    deterministic.  DEFAULT 1 (barrier per round, minus the trailing
+    one): fuse >= 2 measured NEUTRAL warm in isolation but SLOWER
+    in-suite (each argmax job then carries a deeper fold expression —
+    a fresh whole-stage-codegen compile per round per query; the
+    saved barrier jobs did not pay for the compile storms)."""
     if fuse <= 0:
         raise ValueError("fuse must be positive")
     spark = docs.sparkSession

@@ -183,8 +183,9 @@ def extract_meta(html: bytes | str | None):
     return (p.title, p.description, p.canonical)
 
 
-# explicit StructType: a DDL string here would need an active session
-# at module import time (see .claude/skills/verify gotchas)
+# explicit StructType: a DDL string here would need an active
+# SparkSession at module import time (pandas_udf parses DDL through
+# the session), and this module must import session-free
 _META_SCHEMA = StructType([
     StructField("title", StringType()),
     StructField("meta_description", StringType()),

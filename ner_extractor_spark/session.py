@@ -46,6 +46,16 @@ def get_spark(app_name: str = "ner-extractor-spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_MAX_RECORDS)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # localCheckpoint blocks are only dropped after the JVM GCs the
+        # RDD reference (ContextCleaner is weak-reference driven), and
+        # the default periodic forced GC is 30min — longer than an
+        # entire multi-query session here, so barrier blocks from
+        # hundreds of finished queries accumulate in storage memory and
+        # evict later queries' state.  1min bounds that accumulation;
+        # scale-neutral (any long-lived many-query driver benefits) and
+        # overridable via env.
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_PERIODIC_GC", "1min"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
