@@ -46,6 +46,16 @@ def get_spark(app_name: str = "ner-extractor-spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_MAX_RECORDS)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Scheduler mode stays FIFO (measured, r07): FAIR improves the
+        # concurrent-chain queries ~0.5 s each (web_corpus_verdict
+        # 4.34→3.91, neardup 6.19→5.62 — the chains stop head-of-line
+        # blocking each other) but costs the sequential iterative
+        # queries about the same (kg_transe +0.40, trained_gate +0.33,
+        # khop +0.21 medians), a net wash across the suite (full-suite
+        # totals 93.7–94.4 FIFO vs 95.4 FAIR).  Flip per-deployment
+        # when chain-style jobs dominate.
+        .config("spark.scheduler.mode",
+                os.environ.get("SPARK_SCHEDULER_MODE", "FIFO"))
         # localCheckpoint blocks are only dropped after the JVM GCs the
         # RDD reference (ContextCleaner is weak-reference driven), and
         # the default periodic forced GC is 30min — longer than an
