@@ -347,17 +347,37 @@ def simhash_block_pairs(fp: DataFrame, n_bits: int, max_hamming: int,
     exact hamming filter verifies candidates — never an n² cross join.
     """
     bounds = simhash_segments(n_bits, max_hamming)
+    # r07 (guide §2.3 narrower types / §1.2-2 per-task work): the
+    # candidate space of a b-bit simhash is quadratic-per-bucket once
+    # the corpus outgrows 2^b fingerprints, so the per-candidate cost
+    # is what scales.  Pack the bit array into ONE integer: the join
+    # sides carry an int instead of an array<int>[n_bits], and the
+    # hamming verify is bit_count(xor) instead of a zip_with + filter
+    # + size array pipeline per pair (measured 8x corpus: the
+    # verify/join stage dominated the query at 41 s).  Hamming values
+    # — and therefore the output rows — are identical by definition.
+    packed = F.aggregate(F.col(bits_col), F.lit(0).cast("long"),
+                         lambda acc, x: acc * 2 + x)
     blocks = fp.select(
-        F.col(id_col).alias("id"), F.col(bits_col).alias("bits"),
+        F.col(id_col).alias("id"), packed.alias("bi"),
         F.explode(F.array(*[
-            F.concat(F.lit(f"S{i}:"), F.concat_ws("", F.slice("bits", s, ln)))
+            F.concat(F.lit(f"S{i}:"),
+                     F.concat_ws("", F.slice(bits_col, s, ln)))
             for i, (s, ln) in enumerate(bounds)])).alias("block"),
     )
-    a = blocks.select(F.col("id").alias("a"), F.col("bits").alias("ba"), "block")
-    b = blocks.select(F.col("id").alias("b"), F.col("bits").alias("bb"), "block")
+    a = blocks.select(F.col("id").alias("a"), F.col("bi").alias("ba"), "block")
+    b = blocks.select(F.col("id").alias("b"), F.col("bi").alias("bb"), "block")
     pairs = a.join(b, "block").filter(F.col("a") < F.col("b"))
-    ham = F.size(F.filter(F.zip_with("ba", "bb", lambda x, y: x != y),
-                          lambda d: d))
+    # HOF-bound form, NOT plain bit_count(ba ^ bb): a bare
+    # null-intolerant chain lets Catalyst infer isnotnull(packed) from
+    # the hamming filter and push the ENTIRE fingerprint expression
+    # below the input-spread Exchange — a serial single-task pass of
+    # the whole corpus (the winnowing explode_outer lesson; measured
+    # sf0.1 1.4 s -> 7.0 s with 93% idle when pushed).  Constraint
+    # inference does not walk lambda functions, so the wrap pins the
+    # evaluation above the shuffle.  Same hamming values either way.
+    ham = F.get(F.transform(F.array(F.col("ba").bitwiseXOR(F.col("bb"))),
+                            lambda v: F.bit_count(v)), 0)
     return (pairs.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming").distinct())

@@ -62,6 +62,26 @@ def test_simhash(spark):
     assert got3[(1, 4)] == 3
 
 
+def test_simhash_fingerprint_not_pushed_below_repartition(spark):
+    """r07 canary (the winnowing lesson, packed-int edition): the
+    hamming filter must NOT let Catalyst infer an isnotnull() on the
+    packed fingerprint and push the whole fingerprint expression below
+    an upstream repartition — that re-evaluates the corpus fingerprint
+    pass serially on the pre-shuffle side (measured 5x the query at
+    sf0.1).  The packed fold is HOF-bound precisely so constraint
+    inference cannot walk it; this pins that no scan/pre-exchange
+    Filter mentions the fingerprint aggregate."""
+    docs = _docs(spark).repartition(4, "doc_id")
+    plan = simhash_dedup(docs, max_hamming=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the pushed form shows up as a Filter whose condition contains
+    # the normalize/md5 fingerprint pipeline over the raw text column;
+    # the healthy plan has no Filter mentioning it anywhere
+    for line in plan.splitlines():
+        if "Filter" in line or "Condition" in line:
+            assert "regexp_replace" not in line, line
+
+
 def _bits_df(spark, rows):
     return spark.createDataFrame(rows, "id long, bits array<int>")
 
